@@ -1,0 +1,162 @@
+"""The frozen Scene pytree: structure-of-arrays world description.
+
+Replaces the reference's pointer-graph scene model
+(/root/reference/src/core/scene.h:49-66 ``Scene``, primitive/shape/material
+class hierarchies in src/core/{primitive,shape,material,light,medium}.h) with
+flat float32/int32 arrays + integer tags — the idiomatic JAX/XLA layout:
+everything is a pytree that passes through ``jit``/``vmap``/``grad``/
+``shard_map`` unchanged, polymorphic dispatch is masked select over type tags,
+and "no entry" is index -1 rather than nullptr.
+
+Conventions
+-----------
+- All positions/directions/colors: float32, trailing axis 3.
+- All ids: int32; -1 means "none" (no material / vacuum / no area light).
+- Counts are static (Python) — shapes never depend on traced values.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+# Material type tags (see bre_tpu/materials.py; reference src/materials/*)
+MAT_NONE = -1  # boundary-only surface (medium interface), pbrt nullptr material
+MAT_MATTE = 0  # src/materials/matte.cpp (Lambertian / Oren-Nayar)
+MAT_MIRROR = 1  # src/materials/mirror.cpp (perfect specular reflection)
+MAT_GLASS = 2  # src/materials/glass.cpp (specular reflection+transmission)
+MAT_METAL = 3
+MAT_PLASTIC = 4
+
+# Light type tags (reference src/lights/*)
+LIGHT_POINT = 0  # src/lights/point.cpp
+LIGHT_DIFFUSE_AREA = 1  # src/lights/diffuse.cpp (over a scene shape)
+LIGHT_DISTANT = 2  # src/lights/distant.cpp
+LIGHT_INFINITE = 3  # src/lights/infinite.cpp
+LIGHT_SPOT = 4  # src/lights/spot.cpp
+
+# Medium type tags (reference src/media/*)
+MEDIUM_VACUUM = -1
+MEDIUM_HOMOGENEOUS = 0  # src/media/homogeneous.cpp
+MEDIUM_GRID = 1  # src/media/grid.cpp (delta/ratio tracking)
+
+# Shape kind tags
+SHAPE_SPHERE = 0
+SHAPE_TRIANGLE = 1
+
+
+class Spheres(NamedTuple):
+    """SoA spheres (reference src/shapes/sphere.cpp, full spheres only)."""
+
+    center: jnp.ndarray  # (Ns, 3)
+    radius: jnp.ndarray  # (Ns,)
+    material: jnp.ndarray  # (Ns,) int32 material id or -1
+    medium_inside: jnp.ndarray  # (Ns,) int32 medium id or -1
+    medium_outside: jnp.ndarray  # (Ns,) int32
+    area_light: jnp.ndarray  # (Ns,) int32 light id or -1
+
+
+class Triangles(NamedTuple):
+    """SoA triangles (reference src/shapes/triangle.cpp)."""
+
+    p0: jnp.ndarray  # (Nt, 3)
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    material: jnp.ndarray  # (Nt,) int32
+    medium_inside: jnp.ndarray
+    medium_outside: jnp.ndarray
+    area_light: jnp.ndarray
+
+
+class Materials(NamedTuple):
+    """Tagged material table (reference src/materials/*).
+
+    kd doubles as: matte kd / mirror kr / glass kr; ks = glass kt / plastic ks.
+    """
+
+    mtype: jnp.ndarray  # (Nm,) int32 tag
+    kd: jnp.ndarray  # (Nm, 3)
+    ks: jnp.ndarray  # (Nm, 3)
+    eta: jnp.ndarray  # (Nm,) index of refraction (glass)
+    roughness: jnp.ndarray  # (Nm,) (0 = smooth); matte sigma (Oren-Nayar) in deg
+
+
+class Lights(NamedTuple):
+    """Tagged light table (reference src/lights/*).
+
+    ``emit``: point I / area L / distant L / infinite L (constant env).
+    ``shape_kind/shape_index``: geometry of a diffuse area light.
+    """
+
+    ltype: jnp.ndarray  # (Nl,) int32 tag
+    position: jnp.ndarray  # (Nl, 3) point/spot position
+    direction: jnp.ndarray  # (Nl, 3) distant light w (pointing FROM light)
+    emit: jnp.ndarray  # (Nl, 3)
+    shape_kind: jnp.ndarray  # (Nl,) int32 SHAPE_* or -1
+    shape_index: jnp.ndarray  # (Nl,) int32
+    two_sided: jnp.ndarray  # (Nl,) int32 0/1 (area lights)
+    medium: jnp.ndarray  # (Nl,) int32 medium the light sits in (-1 vacuum)
+
+
+class Media(NamedTuple):
+    """Tagged participating-medium table (reference src/media/*).
+
+    Homogeneous media use (sigma_a, sigma_s, g) directly
+    (src/media/homogeneous.cpp:44-77).  Grid media additionally reference the
+    shared ``density`` brick via world_to_medium, with sigma_t scaled per
+    reference grid.cpp (src/media/grid.cpp:46-120); at most one grid medium's
+    density brick is stored (index ``grid_medium``), matching every reference
+    scene configuration in BASELINE.
+    """
+
+    mtype: jnp.ndarray  # (M,) int32 MEDIUM_HOMOGENEOUS / MEDIUM_GRID
+    sigma_a: jnp.ndarray  # (M, 3)
+    sigma_s: jnp.ndarray  # (M, 3)
+    g: jnp.ndarray  # (M,)
+    density: jnp.ndarray  # (nz, ny, nx) grid density (or (1,1,1) zeros)
+    world_to_medium: jnp.ndarray  # (4, 4) for the grid medium
+    grid_medium: jnp.ndarray  # () int32 index of the grid medium or -1
+
+
+class Scene(NamedTuple):
+    """The world: geometry + materials + lights + media (+ camera medium).
+
+    Replaces pbrt's ``Scene`` + plugin object graph (src/core/scene.h:49-66,
+    built by ``RenderOptions::MakeScene`` at src/core/api.cpp:1418-1428).
+    """
+
+    spheres: Spheres
+    triangles: Triangles
+    materials: Materials
+    lights: Lights
+    media: Media
+    camera_medium: jnp.ndarray  # () int32 medium the camera sits in
+    world_min: jnp.ndarray  # (3,) world bounds (for distant/infinite lights)
+    world_max: jnp.ndarray  # (3,)
+
+    @property
+    def n_spheres(self) -> int:
+        return self.spheres.radius.shape[0]
+
+    @property
+    def n_triangles(self) -> int:
+        return self.triangles.p0.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.lights.ltype.shape[0]
+
+    @property
+    def n_media(self) -> int:
+        return self.media.mtype.shape[0]
+
+
+def world_radius(scene: Scene) -> jnp.ndarray:
+    diag = scene.world_max - scene.world_min
+    return 0.5 * jnp.sqrt(jnp.sum(diag * diag))
+
+
+def world_center(scene: Scene) -> jnp.ndarray:
+    return 0.5 * (scene.world_min + scene.world_max)

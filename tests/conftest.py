@@ -1,0 +1,19 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on ``--xla_force_host_platform_device_count=8`` CPU devices, the
+standard JAX pattern for testing ``Mesh``/``shard_map`` code single-host.
+Must run before the first ``import jax`` anywhere in the test session.
+"""
+
+import os
+
+# Detach from the axon TPU relay: tests are CPU-only and must not claim the
+# (single) TPU grant; a wedged/busy relay would otherwise hang every test.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
