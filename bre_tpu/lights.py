@@ -1,0 +1,336 @@
+"""Lights: emission sampling (Sample_Le), NEE sampling (Sample_Li), power.
+
+Reference: /root/reference/src/core/light.h:62-106 (interface),
+src/lights/point.cpp:61-71 (Sample_Le), src/lights/diffuse.cpp:89-125
+(area Sample_Le), src/lights/distant.cpp:69-85, src/lights/infinite.cpp,
+``ComputeLightPowerDistribution`` (src/core/integrator.cpp:217-226).
+
+TPU-first design: one tagged Lights table; a batch of photon-emission samples
+dispatches over light types with masked selects (every type's math runs for
+every lane — cheap vector ops — and the per-lane type mask picks the result).
+No virtual calls, no per-light objects.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from .core.math import PI, INV_4PI, cross, dot, length, length_squared, normalize
+from .core.sampling import (
+    Distribution1D,
+    cosine_hemisphere_pdf,
+    cosine_sample_hemisphere,
+    make_distribution_1d,
+    uniform_sample_sphere,
+    uniform_sample_triangle,
+)
+from .core.spectrum import luminance
+from .scene.scene import (
+    LIGHT_DIFFUSE_AREA,
+    LIGHT_DISTANT,
+    LIGHT_INFINITE,
+    LIGHT_POINT,
+    SHAPE_SPHERE,
+    SHAPE_TRIANGLE,
+    Scene,
+)
+
+
+def _frame_from_z(z):
+    """Build (x, y) tangent frame around z-axis array (...,3)."""
+    from .core.math import coordinate_system
+
+    return coordinate_system(z)
+
+
+def light_power(scene: Scene) -> jnp.ndarray:
+    """Power() per light (light.h:73): (Nl, 3).
+
+    Point: 4*pi*I (point.cpp:59).  DiffuseArea: L*area*pi*(1 or 2)
+    (diffuse.cpp:35-39).  Distant: L*pi*r^2 (distant.cpp:62-66).
+    Infinite: L*pi*r^2 (infinite.cpp Power).
+    """
+    L = scene.lights
+    diag = scene.world_max - scene.world_min
+    world_r2 = 0.25 * jnp.sum(diag * diag)
+
+    # area of the light's shape
+    area = jnp.ones_like(L.ltype, jnp.float32)
+    if scene.n_spheres > 0:
+        sidx = jnp.clip(L.shape_index, 0, scene.n_spheres - 1)
+        a_sph = 4.0 * PI * scene.spheres.radius[sidx] ** 2
+        area = jnp.where(L.shape_kind == SHAPE_SPHERE, a_sph, area)
+    if scene.n_triangles > 0:
+        tidx = jnp.clip(L.shape_index, 0, scene.n_triangles - 1)
+        e1 = scene.triangles.p1[tidx] - scene.triangles.p0[tidx]
+        e2 = scene.triangles.p2[tidx] - scene.triangles.p0[tidx]
+        a_tri = 0.5 * length(cross(e1, e2))
+        area = jnp.where(L.shape_kind == SHAPE_TRIANGLE, a_tri, area)
+
+    sides = jnp.where(L.two_sided > 0, 2.0, 1.0)
+    p_point = 4.0 * PI * L.emit
+    p_area = (sides * area * PI)[:, None] * L.emit
+    p_dist = (PI * world_r2) * L.emit
+    p_inf = (PI * world_r2) * L.emit
+    power = jnp.where(
+        (L.ltype == LIGHT_POINT)[:, None],
+        p_point,
+        jnp.where(
+            (L.ltype == LIGHT_DIFFUSE_AREA)[:, None],
+            p_area,
+            jnp.where((L.ltype == LIGHT_DISTANT)[:, None], p_dist, p_inf),
+        ),
+    )
+    return power
+
+
+def light_power_distribution(scene: Scene) -> Distribution1D:
+    """ComputeLightPowerDistribution (integrator.cpp:217-226)."""
+    return make_distribution_1d(luminance(light_power(scene)))
+
+
+class LeSample(NamedTuple):
+    """One photon-emission sample per lane (Sample_Le outputs)."""
+
+    o: jnp.ndarray  # (R,3) ray origin
+    d: jnp.ndarray  # (R,3) ray direction (unit)
+    n_light: jnp.ndarray  # (R,3)
+    Le: jnp.ndarray  # (R,3)
+    pdf_pos: jnp.ndarray  # (R,)
+    pdf_dir: jnp.ndarray  # (R,)
+    medium: jnp.ndarray  # (R,) int32 medium at the ray origin
+
+
+def _sample_shape_point(scene: Scene, kind, index, u):
+    """Uniform-area point + normal on an area light's shape.
+
+    Sphere::Sample (sphere.cpp:232-240 area variant) / Triangle::Sample
+    (triangle.cpp:~313).  Returns (p, n, pdf_area).
+    """
+    R = kind.shape[0]
+    p = jnp.zeros((R, 3))
+    n = jnp.zeros((R, 3))
+    pdf = jnp.ones((R,))
+    if scene.n_spheres > 0:
+        sidx = jnp.clip(index, 0, scene.n_spheres - 1)
+        c = scene.spheres.center[sidx]
+        r = scene.spheres.radius[sidx]
+        dir_ = uniform_sample_sphere(u)
+        p_s = c + r[:, None] * dir_
+        pdf_s = 1.0 / (4.0 * PI * r * r)
+        m = kind == SHAPE_SPHERE
+        p = jnp.where(m[:, None], p_s, p)
+        n = jnp.where(m[:, None], dir_, n)
+        pdf = jnp.where(m, pdf_s, pdf)
+    if scene.n_triangles > 0:
+        tidx = jnp.clip(index, 0, scene.n_triangles - 1)
+        p0 = scene.triangles.p0[tidx]
+        p1 = scene.triangles.p1[tidx]
+        p2 = scene.triangles.p2[tidx]
+        b = uniform_sample_triangle(u)
+        p_t = p0 + b[:, 0:1] * (p1 - p0) + b[:, 1:2] * (p2 - p0)
+        nv = cross(p1 - p0, p2 - p0)
+        a_tri = 0.5 * length(nv)
+        m = kind == SHAPE_TRIANGLE
+        p = jnp.where(m[:, None], p_t, p)
+        n = jnp.where(m[:, None], normalize(nv), n)
+        pdf = jnp.where(m, 1.0 / jnp.maximum(a_tri, 1e-30), pdf)
+    return p, n, pdf
+
+
+def sample_le(
+    scene: Scene, light_idx: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray
+) -> LeSample:
+    """Batched Light::Sample_Le dispatch (light.h:68-71).
+
+    light_idx: (R,) int32 chosen lights; u1, u2: (R,2) uniforms.
+    """
+    L = scene.lights
+    R = light_idx.shape[0]
+    li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
+    ltype = L.ltype[li]
+    pos = L.position[li]
+    emit = L.emit[li]
+    medium = L.medium[li]
+
+    # --- point light (point.cpp:61-71) ---
+    d_point = uniform_sample_sphere(u1)
+    o_point = pos
+    n_point = d_point
+    pdf_pos_point = jnp.ones((R,))
+    pdf_dir_point = jnp.full((R,), INV_4PI)
+
+    # --- diffuse area light (diffuse.cpp:89-125), one-sided + two-sided ---
+    kind = L.shape_kind[li]
+    sidx = L.shape_index[li]
+    p_sh, n_sh, pdf_area = _sample_shape_point(scene, kind, sidx, u1)
+    two = L.two_sided[li] > 0
+    # choose side for two-sided; remap u2[0] (diffuse.cpp:100-112)
+    u2x = u2[:, 0]
+    flip = two & (u2x >= 0.5)
+    u2x_remap = jnp.where(two, jnp.where(u2x < 0.5, u2x * 2.0, (u2x - 0.5) * 2.0), u2x)
+    w_local = cosine_sample_hemisphere(jnp.stack([u2x_remap, u2[:, 1]], -1))
+    w_local = jnp.where(flip[:, None], w_local * jnp.array([1.0, 1.0, -1.0]), w_local)
+    pdf_dir_area = cosine_hemisphere_pdf(jnp.abs(w_local[:, 2]))
+    pdf_dir_area = jnp.where(two, 0.5 * pdf_dir_area, pdf_dir_area)
+    vx, vy = _frame_from_z(n_sh)
+    d_area = normalize(
+        w_local[:, 0:1] * vx + w_local[:, 1:2] * vy + w_local[:, 2:3] * n_sh
+    )
+    o_area = p_sh
+
+    # --- distant light (distant.cpp:69-85) ---
+    diag = scene.world_max - scene.world_min
+    world_r = 0.5 * jnp.sqrt(jnp.sum(diag * diag))
+    center = 0.5 * (scene.world_max + scene.world_min)
+    w_dist = L.direction[li]  # direction light travels
+    from .core.sampling import concentric_sample_disk
+
+    v1, v2 = _frame_from_z(-w_dist)
+    cd = concentric_sample_disk(u1)
+    p_disk = center + world_r * (cd[:, 0:1] * v1 + cd[:, 1:2] * v2)
+    o_dist = p_disk + world_r * (-w_dist)
+    d_dist = w_dist
+    pdf_pos_dist = jnp.full((R,), 1.0) / (PI * world_r * world_r)
+    pdf_dir_dist = jnp.ones((R,))
+
+    # --- infinite (constant env): sample direction into the scene
+    # (infinite.cpp Sample_Le: direction from env, disk at world edge) ---
+    d_inf = -uniform_sample_sphere(u2)
+    v1i, v2i = _frame_from_z(-d_inf)
+    cdi = concentric_sample_disk(u1)
+    p_di = center + world_r * (cdi[:, 0:1] * v1i + cdi[:, 1:2] * v2i)
+    o_inf = p_di + world_r * (-d_inf)
+    pdf_pos_inf = jnp.full((R,), 1.0) / (PI * world_r * world_r)
+    pdf_dir_inf = jnp.full((R,), INV_4PI)
+
+    def sel(pt, ar, di, inf):
+        m = lambda t: (ltype == t) if pt.ndim == 1 else (ltype == t)[:, None]
+        return jnp.where(
+            m(LIGHT_POINT),
+            pt,
+            jnp.where(m(LIGHT_DIFFUSE_AREA), ar, jnp.where(m(LIGHT_DISTANT), di, inf)),
+        )
+
+    o = sel(o_point, o_area, o_dist, o_inf)
+    d = sel(d_point, d_area, d_dist, d_inf)
+    n_l = sel(n_point, n_sh, d_dist, d_inf)
+    pdf_pos = sel(pdf_pos_point, pdf_area, pdf_pos_dist, pdf_pos_inf)
+    pdf_dir = sel(pdf_dir_point, pdf_dir_area, pdf_dir_dist, pdf_dir_inf)
+    return LeSample(o=o, d=d, n_light=n_l, Le=emit, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
+                    medium=medium)
+
+
+class LiSample(NamedTuple):
+    """One NEE sample per lane (Sample_Li outputs)."""
+
+    wi: jnp.ndarray  # (R,3) unit direction to light
+    Li: jnp.ndarray  # (R,3)
+    pdf: jnp.ndarray  # (R,) solid-angle pdf
+    dist: jnp.ndarray  # (R,) distance to light sample (for shadow ray)
+    p_light: jnp.ndarray  # (R,3)
+
+
+def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
+    """Batched Light::Sample_Li dispatch (light.h:68-70).
+
+    Area lights use uniform-area sampling with the pdf converted to solid
+    angle (Shape::Pdf(ref,wi), shape.cpp:66-87); pbrt's sphere cone sampling
+    is a variance optimization, not a semantic difference.
+    """
+    L = scene.lights
+    R = light_idx.shape[0]
+    li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
+    ltype = L.ltype[li]
+    pos = L.position[li]
+    emit = L.emit[li]
+
+    # point (point.cpp:42-52)
+    to_l = pos - p_ref
+    d2 = jnp.maximum(length_squared(to_l), 1e-20)
+    wi_point = to_l / jnp.sqrt(d2)[:, None]
+    Li_point = emit / d2[:, None]
+    pdf_point = jnp.ones((R,))
+    dist_point = jnp.sqrt(d2)
+
+    # diffuse area: sample shape point, convert pdf to solid angle
+    kind = L.shape_kind[li]
+    sidx = L.shape_index[li]
+    p_sh, n_sh, pdf_area = _sample_shape_point(scene, kind, sidx, u)
+    to_s = p_sh - p_ref
+    d2s = jnp.maximum(length_squared(to_s), 1e-20)
+    dist_s = jnp.sqrt(d2s)
+    wi_area = to_s / dist_s[:, None]
+    cos_l = dot(n_sh, -wi_area)
+    two = L.two_sided[li] > 0
+    emits = two | (cos_l > 0.0)
+    Li_area = jnp.where(emits[:, None], emit, 0.0)
+    pdf_sa = pdf_area * d2s / jnp.maximum(jnp.abs(cos_l), 1e-6)
+    pdf_area_solid = jnp.where(jnp.abs(cos_l) > 1e-6, pdf_sa, 0.0)
+
+    # distant (distant.cpp:42-57)
+    diag = scene.world_max - scene.world_min
+    world_r = 0.5 * jnp.sqrt(jnp.sum(diag * diag))
+    wi_dist = -L.direction[li]
+    Li_dist = emit
+    pdf_dist = jnp.ones((R,))
+    dist_dist = jnp.full((R,), 2.0) * world_r
+
+    # infinite constant env: uniform sphere direction
+    wi_inf = uniform_sample_sphere(u)
+    Li_inf = emit
+    pdf_inf = jnp.full((R,), INV_4PI)
+    dist_inf = jnp.full((R,), 2.0) * world_r
+
+    def sel3(a, b, c, d_):
+        return jnp.where(
+            (ltype == LIGHT_POINT)[:, None],
+            a,
+            jnp.where(
+                (ltype == LIGHT_DIFFUSE_AREA)[:, None],
+                b,
+                jnp.where((ltype == LIGHT_DISTANT)[:, None], c, d_),
+            ),
+        )
+
+    def sel1(a, b, c, d_):
+        return jnp.where(
+            ltype == LIGHT_POINT,
+            a,
+            jnp.where(
+                ltype == LIGHT_DIFFUSE_AREA, b, jnp.where(ltype == LIGHT_DISTANT, c, d_)
+            ),
+        )
+
+    return LiSample(
+        wi=sel3(wi_point, wi_area, wi_dist, wi_inf),
+        Li=sel3(Li_point, Li_area, Li_dist, Li_inf),
+        pdf=sel1(pdf_point, pdf_area_solid, pdf_dist, pdf_inf),
+        dist=sel1(dist_point, dist_s, dist_dist, dist_inf),
+        p_light=sel3(pos, p_sh, p_ref + wi_dist * dist_dist[:, None],
+                     p_ref + wi_inf * dist_inf[:, None]),
+    )
+
+
+def escaped_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
+    """Sum of Light::Le(ray) over infinite lights for escaped rays
+    (light.h:75 default 0; infinite.cpp:~Le). d: (R,3) -> (R,3)."""
+    L = scene.lights
+    if scene.n_lights == 0:
+        return jnp.zeros(d.shape[:-1] + (3,))
+    mask = (L.ltype == LIGHT_INFINITE).astype(jnp.float32)
+    total = jnp.sum(L.emit * mask[:, None], axis=0)
+    return jnp.broadcast_to(total, d.shape[:-1] + (3,))
+
+
+def area_light_emitted(scene: Scene, area_light_idx, n, wo) -> jnp.ndarray:
+    """L emitted toward wo from a hit on an area light
+    (SurfaceInteraction::Le -> DiffuseAreaLight::L, diffuse.cpp:50-56)."""
+    has = area_light_idx >= 0
+    li = jnp.clip(area_light_idx, 0, max(scene.n_lights - 1, 0))
+    emit = scene.lights.emit[li]
+    two = scene.lights.two_sided[li] > 0
+    facing = dot(n, wo) > 0.0
+    return jnp.where((has & (two | facing))[:, None], emit, 0.0)

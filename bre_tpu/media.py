@@ -1,0 +1,322 @@
+"""Participating media: homogeneous + grid-density, HG phase, transmittance.
+
+Reference: /root/reference/src/core/medium.h:69-99 (``PhaseHG``, HG sample at
+src/core/medium.cpp:193-218), src/media/homogeneous.cpp:44-77 (analytic Tr +
+channel-stratified distance sampling), src/media/grid.cpp:46-120 (trilinear
+density, delta-tracking ``Sample``, ratio-tracking ``Tr`` with RR).
+
+TPU-first design
+----------------
+- A ray batch carries an int32 ``medium`` index into the tagged Media table;
+  vacuum (-1) short-circuits via masks, not branches.
+- The grid tracking loops become **fixed-trip-count ``lax.scan``** with live
+  masks — the whole batch steps in lockstep; terminated lanes are masked out.
+  Step budget is static (``max_steps``); overflow lanes report via a counter
+  (no silent caps) and fall back to "no interaction".
+- Randomness comes from the batched PCG32 streams (bit-exact with the
+  reference when seed-matched) — each call threads the state through.
+- Differentiability: homogeneous Tr is ``exp(-sigma_t t)`` — exact analytic
+  gradients for sigma_a/sigma_s.  Grid tracking applies stop-gradient to the
+  *acceptance events* (discrete structure) while the ratio-tracking weights
+  stay differentiable w.r.t. the density grid, the BASELINE "analytic
+  transmittance gradients" contract.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core.math import INV_4PI, coordinate_system, dot, normalize, spherical_direction_basis
+from .core.rng import PCG32State, pcg32_next_f32
+from .core import transform as tfm
+from .scene.scene import MEDIUM_GRID, Media
+
+_MAX_F = jnp.float32(3.0e38)
+
+
+# --------------------------------------------------------------------------
+# Henyey-Greenstein phase function (medium.h:69-99, medium.cpp:193-218)
+# --------------------------------------------------------------------------
+
+def phase_hg(cos_theta: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """PhaseHG (medium.h:95-99)."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return INV_4PI * (1.0 - g * g) / (denom * jnp.sqrt(jnp.maximum(denom, 1e-12)))
+
+
+def hg_p(wo: jnp.ndarray, wi: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """HenyeyGreenstein::p (medium.cpp:215-218)."""
+    return phase_hg(dot(wo, wi), g)
+
+
+def hg_sample_p(
+    wo: jnp.ndarray, g: jnp.ndarray, u: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HenyeyGreenstein::Sample_p (medium.cpp:194-213): returns (wi, pdf).
+
+    Branchless g≈0 isotropic fallback.
+    """
+    iso = jnp.abs(g) < 1e-3
+    g_safe = jnp.where(iso, 1.0, g)  # avoid /0; masked out below
+    sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u[..., 0])
+    cos_theta = jnp.where(
+        iso, 1.0 - 2.0 * u[..., 0], (1.0 + g * g - sqr * sqr) / (2.0 * g_safe)
+    )
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    v1, v2 = coordinate_system(wo)
+    wi = spherical_direction_basis(sin_theta, cos_theta, phi, v1, v2, -wo)
+    return wi, phase_hg(-cos_theta, g)
+
+
+# --------------------------------------------------------------------------
+# Per-ray medium parameter gather
+# --------------------------------------------------------------------------
+
+def gather_medium(media: Media, med_idx: jnp.ndarray):
+    """Per-ray (sigma_a, sigma_s, g, is_grid, in_medium) from int32 indices."""
+    safe = jnp.maximum(med_idx, 0)
+    in_medium = med_idx >= 0
+    if media.mtype.shape[0] == 0:
+        z = jnp.zeros(med_idx.shape + (3,))
+        return z, z, jnp.zeros(med_idx.shape), jnp.zeros_like(in_medium), jnp.zeros_like(in_medium)
+    sigma_a = jnp.where(in_medium[..., None], media.sigma_a[safe], 0.0)
+    sigma_s = jnp.where(in_medium[..., None], media.sigma_s[safe], 0.0)
+    g = jnp.where(in_medium, media.g[safe], 0.0)
+    is_grid = in_medium & (media.mtype[safe] == MEDIUM_GRID)
+    return sigma_a, sigma_s, g, is_grid, in_medium
+
+
+# --------------------------------------------------------------------------
+# Grid density lookup (grid.cpp:46-60)
+# --------------------------------------------------------------------------
+
+def grid_density(density: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear density at medium-space p in [0,1]^3; 0 outside.
+
+    density: (nz, ny, nx) as in the reference's z-major layout
+    (grid.h D(): (z*ny + y)*nx + x); p: (...,3) xyz.
+    """
+    nz, ny, nx = density.shape
+    res = jnp.array([nx, ny, nz], jnp.float32)
+    ps = p * res - 0.5
+    pi = jnp.floor(ps)
+    d = ps - pi
+    pi = pi.astype(jnp.int32)
+
+    def D(off_x, off_y, off_z):
+        x = pi[..., 0] + off_x
+        y = pi[..., 1] + off_y
+        z = pi[..., 2] + off_z
+        ok = (x >= 0) & (x < nx) & (y >= 0) & (y < ny) & (z >= 0) & (z < nz)
+        xs = jnp.clip(x, 0, nx - 1)
+        ys = jnp.clip(y, 0, ny - 1)
+        zs = jnp.clip(z, 0, nz - 1)
+        return jnp.where(ok, density[zs, ys, xs], 0.0)
+
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    d00 = D(0, 0, 0) * (1 - dx) + D(1, 0, 0) * dx
+    d10 = D(0, 1, 0) * (1 - dx) + D(1, 1, 0) * dx
+    d01 = D(0, 0, 1) * (1 - dx) + D(1, 0, 1) * dx
+    d11 = D(0, 1, 1) * (1 - dx) + D(1, 1, 1) * dx
+    d0 = d00 * (1 - dy) + d10 * dy
+    d1 = d01 * (1 - dy) + d11 * dy
+    return d0 * (1 - dz) + d1 * dz
+
+
+def _grid_ray_setup(media: Media, o, d, t_max):
+    """World ray -> medium-space normalized ray + [t0, t1] overlap of [0,1]^3.
+
+    Mirrors grid.cpp:66-71: ray is rescaled so d is unit in medium space and
+    tMax is in those units.
+    """
+    om = tfm.apply_point(media.world_to_medium, o)
+    dm = tfm.apply_vector(media.world_to_medium, d)
+    dlen = jnp.sqrt(jnp.maximum(jnp.sum(dm * dm, -1), 1e-30))
+    dm = dm / dlen[..., None]
+    t_max_m = t_max * dlen
+    # slab test vs [0,1]^3 (Bounds3::IntersectP, geometry.h:1388-1423)
+    inv_d = 1.0 / jnp.where(jnp.abs(dm) < 1e-12, jnp.where(dm < 0, -1e-12, 1e-12), dm)
+    t_lo = (0.0 - om) * inv_d
+    t_hi = (1.0 - om) * inv_d
+    near = jnp.minimum(t_lo, t_hi)
+    far = jnp.maximum(t_lo, t_hi)
+    t0 = jnp.maximum(jnp.max(near, -1), 0.0)
+    t1 = jnp.minimum(jnp.min(far, -1), t_max_m)
+    hit_box = t0 <= t1
+    return om, dm, dlen, t0, t1, hit_box
+
+
+# --------------------------------------------------------------------------
+# Medium interaction sampling (Medium::Sample)
+# --------------------------------------------------------------------------
+
+class MediumSample(NamedTuple):
+    sampled: jnp.ndarray  # (R,) bool — scatter event before t_max
+    t: jnp.ndarray  # (R,) world-ray parameter of interaction
+    weight: jnp.ndarray  # (R,3) path throughput factor (beta multiplier)
+
+
+def sample_homogeneous(
+    sigma_a, sigma_s, d, t_max, u_channel, u_dist
+) -> MediumSample:
+    """HomogeneousMedium::Sample (homogeneous.cpp:50-77), vectorized.
+
+    t_max is in units of |d| (the surface-hit parameter); matches the
+    reference where dist is scaled by ray.d length.
+    """
+    sigma_t = sigma_a + sigma_s
+    d_len = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-30))
+    channel = jnp.minimum((u_channel * 3).astype(jnp.int32), 2)
+    sig_c = jnp.take_along_axis(sigma_t, channel[..., None], -1)[..., 0]
+    dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-38)) / jnp.maximum(sig_c, 1e-30)
+    t = jnp.minimum(dist / d_len, t_max)  # dist*|d| vs tMax in world param
+    sampled = (t < t_max) & (sig_c > 0.0)
+    tr = jnp.exp(-sigma_t * jnp.minimum((t * d_len)[..., None], _MAX_F))
+    density = jnp.where(sampled[..., None], sigma_t * tr, tr)
+    pdf = jnp.mean(density, -1)
+    pdf = jnp.where(pdf == 0.0, 1.0, pdf)
+    w_scatter = tr * sigma_s / pdf[..., None]
+    w_pass = tr / pdf[..., None]
+    weight = jnp.where(sampled[..., None], w_scatter, w_pass)
+    return MediumSample(sampled, t, weight)
+
+
+def sample_grid(
+    media: Media, sigma_a, sigma_s, o, d, t_max, rng: PCG32State, max_steps: int = 256
+):
+    """GridDensityMedium::Sample delta tracking (grid.cpp:62-87), batched scan.
+
+    Returns (rng, MediumSample, n_overflow) where n_overflow counts lanes that
+    exhausted max_steps while still inside the medium (reported, not hidden).
+    Acceptance decisions are wrapped in stop_gradient (discrete events).
+    """
+    sigma_t = (sigma_a + sigma_s)[..., 0]  # spectrally uniform (grid.h ctor)
+    om, dm, dlen, t0, t1, hit_box = _grid_ray_setup(media, o, d, t_max)
+    inv_max_density = 1.0 / jnp.maximum(jnp.max(media.density), 1e-30)
+
+    def step(carry, _):
+        rng, t, live, sampled, t_hit = carry
+        rng, u1 = pcg32_next_f32(rng)
+        rng, u2 = pcg32_next_f32(rng)
+        t_new = t - jnp.log(1.0 - u1) * inv_max_density / jnp.maximum(sigma_t, 1e-30)
+        exited = t_new >= t1
+        dens = grid_density(media.density, om + t_new[..., None] * dm)
+        accept = dens * inv_max_density > u2
+        accept = jax.lax.stop_gradient(accept) & live & ~exited
+        sampled = sampled | accept
+        t_hit = jnp.where(accept, t_new, t_hit)
+        live = live & ~exited & ~accept
+        return (rng, t_new, live, sampled, t_hit), None
+
+    live0 = hit_box & (sigma_t > 0.0)
+    sampled0 = jnp.zeros_like(live0)
+    carry = (rng, t0, live0, sampled0, jnp.zeros_like(t0))
+    (rng, _, live, sampled, t_hit), _ = jax.lax.scan(step, carry, None, length=max_steps)
+    n_overflow = jnp.sum(live.astype(jnp.int32))
+    weight = jnp.where(
+        sampled[..., None],
+        sigma_s / jnp.maximum(sigma_t, 1e-30)[..., None],
+        jnp.ones_like(sigma_s),
+    )
+    t_world = t_hit / jnp.maximum(dlen, 1e-30)
+    return rng, MediumSample(sampled, jnp.where(sampled, t_world, t_max), weight), n_overflow
+
+
+def sample_medium(
+    media: Media, med_idx, o, d, t_max, rng: PCG32State, max_steps: int = 256
+):
+    """Unified Medium::Sample over the tagged media table.
+
+    Consumes exactly 2 PCG32 draws per lane (homogeneous channel+distance,
+    matching homogeneous.cpp:55-58 sampler use) plus the grid tracking scan's
+    draws for grid lanes.  Returns (rng, MediumSample, n_overflow).
+    """
+    sigma_a, sigma_s, g, is_grid, in_medium = gather_medium(media, med_idx)
+    rng, u1 = pcg32_next_f32(rng)
+    rng, u2 = pcg32_next_f32(rng)
+    hs = sample_homogeneous(sigma_a, sigma_s, d, t_max, u1, u2)
+    # Static presence check: the density brick is (1,1,1) iff no grid medium.
+    has_grid = media.density.size > 1
+    if has_grid:
+        rng, gs, n_overflow = sample_grid(media, sigma_a, sigma_s, o, d, t_max, rng, max_steps)
+        sampled = jnp.where(is_grid, gs.sampled, hs.sampled) & in_medium
+        t = jnp.where(is_grid, gs.t, hs.t)
+        weight = jnp.where(is_grid[..., None], gs.weight, hs.weight)
+    else:
+        sampled = hs.sampled & in_medium
+        t, weight, n_overflow = hs.t, hs.weight, jnp.int32(0)
+    t = jnp.where(in_medium, t, t_max)
+    weight = jnp.where(in_medium[..., None], weight, 1.0)
+    return rng, MediumSample(sampled, t, weight), n_overflow
+
+
+# --------------------------------------------------------------------------
+# Transmittance (Medium::Tr)
+# --------------------------------------------------------------------------
+
+def tr_homogeneous(sigma_a, sigma_s, d, t_max) -> jnp.ndarray:
+    """HomogeneousMedium::Tr = exp(-sigma_t * min(tMax*|d|, inf))
+    (homogeneous.cpp:44-48). Analytic -> exact autodiff gradients."""
+    sigma_t = sigma_a + sigma_s
+    d_len = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-30))
+    return jnp.exp(-sigma_t * jnp.minimum(t_max * d_len, _MAX_F)[..., None])
+
+
+def tr_grid(
+    media: Media, sigma_a, sigma_s, o, d, t_max, rng: PCG32State, max_steps: int = 512
+):
+    """GridDensityMedium::Tr ratio tracking with RR (grid.cpp:89-120), batched.
+
+    The running product stays differentiable w.r.t. the density grid; RR
+    decisions are stop-gradient.  Returns (rng, Tr scalar per lane, n_overflow).
+    """
+    sigma_t = (sigma_a + sigma_s)[..., 0]
+    om, dm, dlen, t0, t1, hit_box = _grid_ray_setup(media, o, d, t_max)
+    inv_max_density = 1.0 / jnp.maximum(jnp.max(media.density), 1e-30)
+    rr_threshold = 0.1
+
+    def step(carry, _):
+        rng, t, tr, live = carry
+        rng, u1 = pcg32_next_f32(rng)
+        t_new = t - jnp.log(1.0 - u1) * inv_max_density / jnp.maximum(sigma_t, 1e-30)
+        exited = t_new >= t1
+        dens = grid_density(media.density, om + t_new[..., None] * dm)
+        factor = 1.0 - jnp.maximum(0.0, dens * inv_max_density)
+        tr_new = jnp.where(live & ~exited, tr * factor, tr)
+        # Russian roulette when transmittance gets low (grid.cpp:108-116)
+        rng, u2 = pcg32_next_f32(rng)
+        do_rr = live & ~exited & (tr_new < rr_threshold)
+        q = jnp.maximum(0.05, 1.0 - tr_new)
+        killed = do_rr & jax.lax.stop_gradient(u2 < q)
+        tr_new = jnp.where(killed, 0.0, jnp.where(do_rr, tr_new / (1.0 - q), tr_new))
+        live = live & ~exited & ~killed
+        return (rng, t_new, tr_new, live), None
+
+    live0 = hit_box & (sigma_t > 0.0)
+    carry = (rng, t0, jnp.ones_like(t0), live0)
+    (rng, _, tr, live), _ = jax.lax.scan(step, carry, None, length=max_steps)
+    n_overflow = jnp.sum(live.astype(jnp.int32))
+    return rng, tr, n_overflow
+
+
+def transmittance(
+    media: Media, med_idx, o, d, t_max, rng: PCG32State, max_steps: int = 512
+):
+    """Unified Medium::Tr over the tagged media table (1.0 in vacuum).
+
+    Note: the grid path consumes RNG draws; for deterministic compat with the
+    reference the caller must use the same stream discipline.
+    Returns (rng, Tr rgb, n_overflow).
+    """
+    sigma_a, sigma_s, g, is_grid, in_medium = gather_medium(media, med_idx)
+    tr_h = tr_homogeneous(sigma_a, sigma_s, d, t_max)
+    if media.density.size > 1:  # static: grid medium present
+        rng, tr_g, n_overflow = tr_grid(media, sigma_a, sigma_s, o, d, t_max, rng, max_steps)
+        tr = jnp.where(is_grid[..., None], tr_g[..., None], tr_h)
+    else:
+        tr, n_overflow = tr_h, jnp.int32(0)
+    return rng, jnp.where(in_medium[..., None], tr, 1.0), n_overflow

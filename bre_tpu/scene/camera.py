@@ -1,0 +1,137 @@
+"""Cameras: perspective (+ thin lens) and orthographic, vectorized ray-gen.
+
+Reference: /root/reference/src/cameras/perspective.cpp (``GenerateRay``
+:~70-120), src/cameras/orthographic.cpp, the ProjectiveCamera screen/raster
+transform setup (src/core/camera.h:50-90, api.cpp camera factories).
+
+TPU-first design: a Camera is a small pytree of matrices; ``generate_rays``
+maps a ``(R, 2)`` array of raster-space sample positions to ``(R, 3)`` origins
++ directions in one broadcasted transform — the whole film's rays materialize
+in a single fused op (pbrt generates one ray per sample inside the tile loop).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import transform as tfm
+from ..core.math import normalize
+from ..core.sampling import concentric_sample_disk
+
+CAMERA_PERSPECTIVE = 0
+CAMERA_ORTHOGRAPHIC = 1
+
+
+class Camera(NamedTuple):
+    ctype: jnp.ndarray  # () int32
+    camera_to_world: jnp.ndarray  # (4,4)
+    raster_to_camera: jnp.ndarray  # (4,4)
+    lens_radius: jnp.ndarray  # ()
+    focal_distance: jnp.ndarray  # ()
+
+
+def make_perspective_camera(
+    camera_to_world: jnp.ndarray,
+    fov_deg: float,
+    width: int,
+    height: int,
+    lens_radius: float = 0.0,
+    focal_distance: float = 1e6,
+) -> Camera:
+    """Matches pbrt's ProjectiveCamera screen-window conventions: the screen
+    window spans [-1,1] on the shorter axis, scaled by aspect on the longer
+    (api.cpp:651-680 + camera.h)."""
+    aspect = width / height
+    if aspect > 1.0:
+        sx0, sx1, sy0, sy1 = -aspect, aspect, -1.0, 1.0
+    else:
+        sx0, sx1, sy0, sy1 = -1.0, 1.0, -1.0 / aspect, 1.0 / aspect
+    cam_to_screen = np.asarray(tfm.perspective(fov_deg, 1e-2, 1000.0))
+    # screen -> raster: flip y, scale to pixels
+    screen_to_raster = (
+        np.diag([width / (sx1 - sx0), height / (sy0 - sy1), 1.0, 1.0]).astype(np.float32)
+        @ np.array(
+            [[1, 0, 0, -sx0], [0, 1, 0, -sy1], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+        )
+    )
+    raster_to_screen = np.linalg.inv(screen_to_raster)
+    raster_to_camera = np.linalg.inv(cam_to_screen) @ raster_to_screen
+    return Camera(
+        ctype=jnp.int32(CAMERA_PERSPECTIVE),
+        camera_to_world=jnp.asarray(camera_to_world, jnp.float32),
+        raster_to_camera=jnp.asarray(raster_to_camera.astype(np.float32)),
+        lens_radius=jnp.float32(lens_radius),
+        focal_distance=jnp.float32(focal_distance),
+    )
+
+
+def make_orthographic_camera(
+    camera_to_world: jnp.ndarray, width: int, height: int, screen_scale: float = 1.0
+) -> Camera:
+    aspect = width / height
+    if aspect > 1.0:
+        sx0, sx1, sy0, sy1 = -aspect, aspect, -1.0, 1.0
+    else:
+        sx0, sx1, sy0, sy1 = -1.0, 1.0, -1.0 / aspect, 1.0 / aspect
+    sx0, sx1, sy0, sy1 = (v * screen_scale for v in (sx0, sx1, sy0, sy1))
+    screen_to_raster = (
+        np.diag([width / (sx1 - sx0), height / (sy0 - sy1), 1.0, 1.0]).astype(np.float32)
+        @ np.array(
+            [[1, 0, 0, -sx0], [0, 1, 0, -sy1], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+        )
+    )
+    raster_to_camera = np.linalg.inv(screen_to_raster)  # ortho cam_to_screen = I
+    return Camera(
+        ctype=jnp.int32(CAMERA_ORTHOGRAPHIC),
+        camera_to_world=jnp.asarray(camera_to_world, jnp.float32),
+        raster_to_camera=jnp.asarray(raster_to_camera.astype(np.float32)),
+        lens_radius=jnp.float32(0.0),
+        focal_distance=jnp.float32(1e6),
+    )
+
+
+def generate_rays(
+    camera: Camera, p_raster: jnp.ndarray, u_lens: jnp.ndarray | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raster sample positions (R,2) -> world-space (origins, directions).
+
+    Semantics of PerspectiveCamera::GenerateRay (perspective.cpp:~70-120) /
+    OrthographicCamera::GenerateRay, vectorized.  Directions are normalized.
+    """
+    R = p_raster.shape[0]
+    p_film = jnp.concatenate([p_raster, jnp.zeros((R, 1))], -1)
+    p_cam = tfm.apply_point(camera.raster_to_camera, p_film)
+
+    is_persp = camera.ctype == CAMERA_PERSPECTIVE
+    o_persp = jnp.zeros((R, 3))
+    d_persp = normalize(p_cam)
+    o_ortho = p_cam
+    d_ortho = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
+    o = jnp.where(is_persp, o_persp, o_ortho)
+    d = jnp.where(is_persp, d_persp, d_ortho)
+
+    if u_lens is not None:
+        # Thin-lens depth of field (perspective.cpp:96-110)
+        p_lens = camera.lens_radius * concentric_sample_disk(u_lens)
+        ft = camera.focal_distance / jnp.maximum(d[:, 2], 1e-6)
+        p_focus = o + ft[:, None] * d
+        o_dof = jnp.concatenate([p_lens, jnp.zeros((R, 1))], -1)
+        d_dof = normalize(p_focus - o_dof)
+        use = camera.lens_radius > 0.0
+        o = jnp.where(use & is_persp, o_dof, o)
+        d = jnp.where(use & is_persp, d_dof, d)
+
+    o_w = tfm.apply_point(camera.camera_to_world, o)
+    d_w = normalize(tfm.apply_vector(camera.camera_to_world, d))
+    return o_w, d_w
+
+
+def pixel_centers(width: int, height: int) -> jnp.ndarray:
+    """(H*W, 2) raster positions at pixel centers (x+.5, y+.5), row-major."""
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    return jnp.stack([gx.ravel(), gy.ravel()], -1)

@@ -10,6 +10,8 @@ import os
 
 # Detach from the axon TPU relay: tests are CPU-only and must not claim the
 # (single) TPU grant; a wedged/busy relay would otherwise hang every test.
+# NOTE: sitecustomize imports jax at interpreter startup (before conftest), so
+# env vars alone are too late — force the platform through jax.config too.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -17,3 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
