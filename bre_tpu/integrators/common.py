@@ -1,0 +1,78 @@
+"""Shared integrator pieces: next-event estimation, camera-segment Tr.
+
+Reference: /root/reference/src/core/integrator.cpp —
+``UniformSampleOneLight`` (:54-83), ``EstimateDirect`` (:85-215, media-aware
+via ``VisibilityTester::Tr`` -> ``Scene::IntersectTr``, scene.cpp:63-92).
+
+TPU-first design: light-strategy-only NEE (unbiased; pbrt's added BSDF-MIS
+term is a variance optimization for glossy lobes), vectorized over the whole
+ray batch; shadow transmittance uses the shading point's medium over the
+unoccluded shadow segment.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.math import absdot, dot, offset_ray_origin
+from ..core.rng import PCG32State, pcg32_next_f32
+from ..lights import sample_li
+from ..materials import eval_bsdf
+from ..media import gather_medium, hg_p, tr_homogeneous
+from ..scene.intersect import intersect_p
+from ..scene.scene import Scene
+
+
+def segment_transmittance_det(scene: Scene, med_idx, o, d, t_end):
+    """Deterministic per-segment transmittance (homog analytic; grid by
+    16-pt quadrature) — shared with photon tracing."""
+    from .photon_trace import _segment_tr
+
+    return _segment_tr(scene, med_idx, o, d, t_end)
+
+
+def sample_one_light(
+    scene: Scene,
+    rng: PCG32State,
+    p: jnp.ndarray,
+    n: jnp.ndarray,
+    wo: jnp.ndarray,
+    mat_idx: jnp.ndarray,
+    med_idx: jnp.ndarray,
+    is_surface: jnp.ndarray,
+):
+    """NEE at surface points (BSDF) or medium points (HG phase).
+
+    Semantics of UniformSampleOneLight (integrator.cpp:54-83): pick one light
+    uniformly, divide by 1/nLights; shadow ray respects media transmittance.
+    For medium points pass is_surface=False and n is ignored.
+    Returns (rng, L) with L: (R,3).
+    """
+    R = p.shape[0]
+    n_lights = scene.n_lights
+    if n_lights == 0:
+        return rng, jnp.zeros((R, 3))
+    rng, u_pick = pcg32_next_f32(rng)
+    light_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
+    rng, ua = pcg32_next_f32(rng)
+    rng, ub = pcg32_next_f32(rng)
+    ls = sample_li(scene, light_idx, p, jnp.stack([ua, ub], -1))
+
+    # scattering term
+    f_surf, _pdf = eval_bsdf(scene.materials, mat_idx, n, wo, ls.wi)
+    f_surf = f_surf * absdot(ls.wi, n)[:, None]
+    _, _, g_here, _, _ = gather_medium(scene.media, med_idx)
+    f_med = hg_p(wo, ls.wi, g_here)[:, None] * jnp.ones((1, 3))
+    f = jnp.where(is_surface[:, None], f_surf, f_med)
+
+    # shadow ray: offset along normal on surfaces only
+    o_shadow = jnp.where(
+        is_surface[:, None], offset_ray_origin(p, n, ls.wi), p
+    )
+    t_shadow = ls.dist * (1.0 - 1e-3)
+    occluded = intersect_p(scene, o_shadow, ls.wi, t_shadow)
+    tr = segment_transmittance_det(scene, med_idx, o_shadow, ls.wi, t_shadow)
+
+    contrib = f * ls.Li * tr / jnp.maximum(ls.pdf, 1e-30)[:, None]
+    contrib = jnp.where((~occluded & (ls.pdf > 0.0))[:, None], contrib, 0.0)
+    return rng, contrib * jnp.float32(n_lights)

@@ -82,6 +82,12 @@ def sample_bsdf(
     (FresnelSpecular, reflection.cpp:217-260).
     """
     R = mat_idx.shape[0]
+    if materials.mtype.shape[0] == 0:  # static: no materials in scene
+        z3 = jnp.zeros((R, 3))
+        return BSDFSample(
+            wi=z3, f=z3, pdf=jnp.zeros((R,)), specular=jnp.zeros((R,), bool),
+            valid=jnp.zeros((R,), bool),
+        )
     has_mat = mat_idx >= 0
     mi = jnp.clip(mat_idx, 0, max(materials.mtype.shape[0] - 1, 0))
     mtype = materials.mtype[mi]
@@ -151,6 +157,8 @@ def eval_bsdf(materials: Materials, mat_idx, n, wo, wi):
 
     Specular materials return (0, 0) as in pbrt (delta lobes never eval).
     """
+    if materials.mtype.shape[0] == 0:  # static: no materials in scene
+        return jnp.zeros(mat_idx.shape + (3,)), jnp.zeros(mat_idx.shape)
     has_mat = mat_idx >= 0
     mi = jnp.clip(mat_idx, 0, max(materials.mtype.shape[0] - 1, 0))
     mtype = materials.mtype[mi]

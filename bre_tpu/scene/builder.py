@@ -145,6 +145,22 @@ class SceneBuilder:
         """Two triangles (p0,p1,p2) and (p0,p2,p3)."""
         return self.triangle(p0, p1, p2, **kw), self.triangle(p0, p2, p3, **kw)
 
+    def box(self, lo, hi, **kw) -> None:
+        """Axis-aligned box as 12 triangles with consistently OUTWARD normals.
+
+        Normal orientation matters: medium_inside is the medium on the side
+        opposite the geometric normal (see scene.Triangles).  Equivalent to a
+        pbrt trianglemesh box with outward winding.
+        """
+        lx, ly, lz = (float(v) for v in lo)
+        hx, hy, hz = (float(v) for v in hi)
+        self.quad((lx, ly, lz), (lx, hy, lz), (hx, hy, lz), (hx, ly, lz), **kw)  # z=lo
+        self.quad((lx, ly, hz), (hx, ly, hz), (hx, hy, hz), (lx, hy, hz), **kw)  # z=hi
+        self.quad((lx, ly, lz), (hx, ly, lz), (hx, ly, hz), (lx, ly, hz), **kw)  # y=lo
+        self.quad((lx, hy, lz), (lx, hy, hz), (hx, hy, hz), (hx, hy, lz), **kw)  # y=hi
+        self.quad((lx, ly, lz), (lx, ly, hz), (lx, hy, hz), (lx, hy, lz), **kw)  # x=lo
+        self.quad((hx, ly, lz), (hx, hy, lz), (hx, hy, hz), (hx, ly, hz), **kw)  # x=hi
+
     # --- lights (reference src/lights/*) ---
     def point_light(self, position=(0, 0, 0), intensity=(1, 1, 1), medium: int = -1) -> int:
         self._light.append(
