@@ -1,0 +1,92 @@
+"""Benchmark: camera rays/sec through one progressive photon-beam iteration
+(photon trace -> beam gather camera pass), forward + backward w.r.t. medium
+parameters — the BASELINE.json north-star metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the ratio
+against this framework's own round-1 recorded value once available (1.0 until
+then).
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from bre_tpu.core import transform as tfm
+    from bre_tpu.integrators.photonbeam import PhotonBeamConfig, camera_pass
+    from bre_tpu.integrators.photon_trace import trace_photon_beams
+    from bre_tpu.lights import light_power_distribution
+    from bre_tpu.scene.builder import SceneBuilder
+    from bre_tpu.scene.camera import make_perspective_camera
+
+    wh = 128
+    photons = 50_000
+    max_depth = 5
+
+    b = SceneBuilder()
+    fog = b.homogeneous_medium((0.05,) * 3, (0.5,) * 3, 0.3)
+    wall = b.matte((0.6, 0.5, 0.4))
+    b.box((-1, -1, -1), (1, 1, 1), material=-1, medium_inside=fog, medium_outside=-1)
+    b.quad((-3, -3, 3.0), (-3, 3, 3.0), (3, 3, 3.0), (3, -3, 3.0), material=wall)
+    b.point_light((0.0, 0.3, 0.0), (1.0, 0.9, 0.8), medium=fog)
+    scene = b.build()
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.5), (0, 0, 0), (0, 1, 0)), 45.0, wh, wh
+    )
+    # chunk sizing: the gather backward holds ~16 live (rays x chunk x 3) f32
+    # buffers; 16384 rays x 512 chunk keeps peak under ~2 GB of HBM.
+    cfg = PhotonBeamConfig(
+        maxdepth=max_depth,
+        photonsperiteration=photons,
+        initialbeamradius=0.2,
+        gather_chunk=512,
+    )
+    distr = light_power_distribution(scene)
+
+    def iteration(sigma_a, sigma_s, iter_idx):
+        sc = scene._replace(
+            media=scene.media._replace(sigma_a=sigma_a, sigma_s=sigma_s)
+        )
+        beams, _ = trace_photon_beams(
+            sc, distr, iter_idx, photons, max_depth, jnp.float32(0.2)
+        )
+        Ld, _ = camera_pass(
+            sc, cam, wh, wh, beams, jnp.float32(0.2), iter_idx, cfg, photons
+        )
+        return jnp.mean(Ld)
+
+    fwd_bwd = jax.jit(jax.value_and_grad(iteration, argnums=(0, 1)))
+
+    sa, ss = scene.media.sigma_a, scene.media.sigma_s
+    # compile (excluded from timing)
+    out = fwd_bwd(sa, ss, jnp.uint32(0))
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fwd_bwd(sa, ss, jnp.uint32(i + 1))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    rays_per_sec = wh * wh / dt
+    print(
+        json.dumps(
+            {
+                "metric": "camera_rays_per_sec_fwd_bwd",
+                "value": rays_per_sec,
+                "unit": "rays/s/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

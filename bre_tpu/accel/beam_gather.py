@@ -9,26 +9,31 @@ Two estimators:
 
 - ``KERNEL_COMPAT``: bit-faithful reproduction of the reference's
   unnormalized conical kernel (the hardcoded 1e-5 scale included) for
-  seed-matched image comparison.
+  seed-matched image comparison — including the reference's own quirk of
+  not clamping the beam-side closest point (photonbeam.cpp:178-181).
 - ``KERNEL_BRE`` (default): the physically normalized 1D beam-radiance
   estimate (Jarosz et al. 2008/2011 "beam x beam 1D-1D"):
-  ``L += beta_cam Tr_cam(t_c) sigma_s rho(w_c, w_b) Tr_beam(t_b)
-  k1(d) / sin(theta)`` with an Epanechnikov line kernel normalized to
-  integrate to 1 over the blur width.  Transmittance along a beam is
-  recovered from its endpoint powers by exponential interpolation
-  (exact for homogeneous media).
+  ``L += Tr_cam(t_c) sigma_s rho(w_c, w_b) Tr_beam(t_b) k1(d) / sin(theta)``
+  with exact Ericson segment-segment closest points, an Epanechnikov line
+  kernel normalized to integrate to 1 over the blur width, and beam/camera
+  transmittance recovered by exponential interpolation of endpoint values
+  (exact for homogeneous media).  Validated against an independent Monte
+  Carlo derivation (ratio 1.008, tests/test_photonbeam_vs_volpath.py).
 
 TPU-first design: no per-ray traversal returning ``vector<PhotonBeam>``
-(photonbeambvh.cpp:685-723) — contributions accumulate *inside* the gather as
-a dense masked (rays x beam-chunk) computation, looping over beam chunks with
-``lax.fori_loop``.  Fully differentiable w.r.t. beam powers/positions, medium
-parameters, and camera throughput; an LBVH front-end culls chunks for large
+(photonbeambvh.cpp:685-723) — contributions accumulate as a dense masked
+(rays x beam-chunk) computation, looping chunks with ``lax.scan``.  The op
+carries a **custom VJP** that re-runs each chunk's forward inside the
+backward (one chunk live at a time): reverse-mode memory is O(rays x chunk)
+instead of O(rays x beams), which is what lets a full fwd+bwd render step of
+10^4 rays x 10^5 beams fit in HBM.  An LBVH front-end culls chunks for large
 beam counts (bre_tpu/accel/lbvh.py).
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +83,9 @@ def closest_points_segments(a0, a1, b0, b1):
     dot_b = jnp.clip(jnp.sum(Bn * (pa - b0), -1), 0.0, mag_b)
     pb = jnp.where(a_clamped[..., None], b0 + Bn * dot_b[..., None], pb)
     # reproject a when b's ORIGINAL t1 is out of range (:178-181); uses the
-    # possibly-already-reprojected pb, exactly as the reference does.
+    # possibly-already-reprojected pb, exactly as the reference does.  NOTE:
+    # the reference never clamps pb itself here — beams contribute from their
+    # backward extensions; kept verbatim for compat.
     b_out = (t1 < 0.0) | (t1 > mag_b)
     dot_a = jnp.clip(jnp.sum(An * (pb - a0), -1), 0.0, mag_a)
     pa = jnp.where(b_out[..., None], a0 + An * dot_a[..., None], pa)
@@ -100,11 +107,7 @@ def closest_points_segments(a0, a1, b0, b1):
 def closest_points_segments_exact(a0, a1, b0, b1):
     """True segment-segment closest points (Ericson, RTCD 5.1.9), branchless.
 
-    Used by the physical BRE kernel.  NOTE: the reference's
-    ``ComputeClosestPoints`` does NOT clamp the beam-side point when its line
-    parameter falls outside the segment (photonbeam.cpp:178-181 reprojects
-    only pA) — beams there contribute from their backward extensions; keep
-    ``closest_points_segments`` for compat mode, this for correctness.
+    Used by the physical BRE kernel (see the compat note above).
     Returns (pa, pb, valid) with valid=True always (parallel handled).
     """
     d1 = a1 - a0
@@ -130,15 +133,139 @@ def closest_points_segments_exact(a0, a1, b0, b1):
 
 def _interp_power(power_start, power_end, frac):
     """Power at fractional position along a beam via exponential interpolation
-    (exact for homogeneous transmittance decay)."""
-    ps = jnp.maximum(power_start, 1e-30)
-    pe = jnp.maximum(power_end, 1e-30)
+    (exact for homogeneous transmittance decay).
+
+    Fully where-isolated: zero-power lanes never touch the log/div (their
+    backward under XLA fusion underflows ps^2 to 0 -> inf -> NaN via the
+    0-cotangent product), and the decay ratio is floored so gradients stay
+    representable in f32.
+    """
+    ok = power_start > 1e-20
+    ps = jnp.where(ok, power_start, 1.0)
+    pe = jnp.where(ok, jnp.maximum(power_end, 1e-12 * ps), 1.0)
     p = ps * jnp.exp(frac[..., None] * jnp.log(pe / ps))
-    # if the true start power was ~0, keep 0
-    return jnp.where(power_start > 0.0, p, 0.0)
+    return jnp.where(ok, p, 0.0)
 
 
-@partial(jax.jit, static_argnames=("kernel", "chunk"))
+def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
+                   min_sin_theta: float) -> jnp.ndarray:
+    """(R,3) contribution of one beam chunk to all R segments.
+
+    cb: chunk beam arrays (C,...) incl. float validity mask; seg: per-ray
+    arrays + precomputed medium factors.  Pure float->float (custom-VJP safe).
+    """
+    c_start = cb["start"][None, :, :]  # (1,C,3)
+    c_end = cb["end"][None, :, :]
+    c_ps = cb["power_start"][None, :, :]
+    c_pe = cb["power_end"][None, :, :]
+    c_rad = cb["radius"][None, :]
+    c_valid = cb["valid_f"][None, :]  # float 0/1
+
+    a0 = seg["a0"][:, None, :]  # (R,1,3)
+    a1 = seg["a1"][:, None, :]
+    if kernel == KERNEL_COMPAT:
+        pa, pb, cp_valid = closest_points_segments(a0, a1, c_start, c_end)
+    else:
+        pa, pb, cp_valid = closest_points_segments_exact(a0, a1, c_start, c_end)
+    dist = length(pa - pb)  # (R,C)
+    width = seg["cam_radius"] + c_rad
+    r = dist / jnp.maximum(width, 1e-30)
+    in_range = ((r < 1.0) & cp_valid).astype(jnp.float32) * c_valid
+
+    if kernel == KERNEL_COMPAT:
+        # photonbeam.cpp:500-505, including the hardcoded 1e-5 scale.
+        w = 1e-5 * jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0))
+        contrib = w[..., None] * c_pe
+    else:
+        # physically normalized 1D-1D BRE
+        beam_len = jnp.maximum(length(c_end - c_start), 1e-30)
+        b_dirn = (c_end - c_start) / beam_len[..., None]
+        t_b = jnp.sum((pb - c_start) * b_dirn, -1)
+        p_at = _interp_power(c_ps, c_pe, t_b / beam_len)  # (R,C,3)
+
+        t_c = jnp.sum((pa - seg["a0"][:, None, :]) * seg["dir"][:, None, :], -1)
+        frac_c = jnp.clip(t_c / seg["len"][:, None], 0.0, 1.0)
+        tr_cam = _interp_power(
+            jnp.ones_like(seg["tr_full"])[:, None, :],
+            jnp.maximum(seg["tr_full"], 1e-30)[:, None, :],
+            frac_c,
+        )
+
+        cos_theta = jnp.sum(seg["dir"][:, None, :] * b_dirn, -1)
+        rho = phase_hg(cos_theta, seg["g"][:, None])
+        sin_theta = jnp.maximum(
+            jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12)),
+            min_sin_theta,
+        )
+        # Epanechnikov line kernel, integral over [-W, W] == 1
+        k1 = 0.75 * (1.0 - r * r) / jnp.maximum(width, 1e-30)
+        w = (rho * k1 / sin_theta)[..., None] * seg["sigma_s"][:, None, :]
+        contrib = power_scale * w * p_at * tr_cam
+        contrib = contrib * seg["in_med_f"][:, None, None]
+
+    return jnp.sum(contrib * in_range[..., None], axis=1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_core(cfg, pb: dict, seg: dict) -> jnp.ndarray:
+    """cfg = (kernel, chunk, n_chunks, power_scale, min_sin_theta).
+
+    pb: padded beam float arrays (Bp,...); seg: per-ray float arrays.
+    """
+    return _gather_forward(cfg, pb, seg)
+
+
+def _gather_forward(cfg, pb, seg):
+    kernel, chunk, n_chunks, power_scale, min_sin = cfg
+    R = seg["a0"].shape[0]
+
+    def body(acc, ci):
+        cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) for k, v in pb.items()}
+        return acc + _chunk_contrib(cb, seg, kernel, power_scale, min_sin), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((R, 3)), jnp.arange(n_chunks))
+    return acc
+
+
+def _gather_fwd(cfg, pb, seg):
+    return _gather_forward(cfg, pb, seg), (pb, seg)
+
+
+def _gather_bwd(cfg, res, ct):
+    """Chunked backward: re-run each chunk's forward under jax.vjp — one
+    chunk's pairwise intermediates live at a time."""
+    kernel, chunk, n_chunks, power_scale, min_sin = cfg
+    pb, seg = res
+
+    ct_pb0 = jax.tree.map(jnp.zeros_like, pb)
+    ct_seg0 = jax.tree.map(jnp.zeros_like, seg)
+
+    def body(carry, ci):
+        ct_pb, ct_seg = carry
+        cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) for k, v in pb.items()}
+        _, vjp_fn = jax.vjp(
+            lambda cb_, seg_: _chunk_contrib(cb_, seg_, kernel, power_scale, min_sin),
+            cb,
+            seg,
+        )
+        d_cb, d_seg = vjp_fn(ct)
+        ct_pb = {
+            k: jax.lax.dynamic_update_slice_in_dim(
+                v, jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) + d_cb[k],
+                ci * chunk, 0,
+            )
+            for k, v in ct_pb.items()
+        }
+        ct_seg = jax.tree.map(jnp.add, ct_seg, d_seg)
+        return (ct_pb, ct_seg), None
+
+    (ct_pb, ct_seg), _ = jax.lax.scan(body, (ct_pb0, ct_seg0), jnp.arange(n_chunks))
+    return ct_pb, ct_seg
+
+
+_gather_core.defvjp(_gather_fwd, _gather_bwd)
+
+
 def gather_beams_bruteforce(
     beams,
     media: Media,
@@ -160,88 +287,39 @@ def gather_beams_bruteforce(
     ``power_scale`` is 1/photonsPerIteration for the normalized BRE (photon
     power is stored unnormalized for compat with the reference's beams).
     ``min_sin_theta`` clamps the 1D-1D estimator's 1/sin(theta) Jacobian for
-    near-parallel ray/beam pairs (heavy-tail variance control; the exactly
-    parallel case is excluded by ``closest_points_segments`` validity, as in
-    the reference).  In-scattering uses the **camera segment's** medium
-    (sigma_s, g at the gather point) — a beam near a medium boundary must not
-    contribute to a camera segment traveling in vacuum.
-    Pads the beam arrays to a multiple of ``chunk`` and loops chunks.
+    near-parallel ray/beam pairs (heavy-tail variance control).
+    In-scattering uses the **camera segment's** medium (sigma_s, g at the
+    gather point) — a beam near a medium boundary must not contribute to a
+    camera segment traveling in vacuum.  Differentiable w.r.t. beam
+    geometry/powers, medium parameters, segment geometry and radii, with
+    O(rays x chunk) backward memory via the custom VJP above.
     """
-    R = seg_a0.shape[0]
     B = beams.capacity
     n_chunks = max(1, -(-B // chunk))
     Bp = n_chunks * chunk
 
     def pad(x):
-        return jnp.concatenate(
-            [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0
-        )
+        return jnp.concatenate([x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
 
-    b_start = pad(beams.start)
-    b_end = pad(beams.end)
-    b_ps = pad(beams.power_start)
-    b_pe = pad(beams.power_end)
-    b_rad = pad(beams.radius)
-    b_med = pad(beams.medium)
-    b_valid = pad(beams.valid)
-
-    seg_len = jnp.maximum(length(seg_a1 - seg_a0), 1e-30)
+    pb = dict(
+        start=pad(beams.start),
+        end=pad(beams.end),
+        power_start=pad(beams.power_start),
+        power_end=pad(beams.power_end),
+        radius=pad(beams.radius),
+        valid_f=pad(beams.valid.astype(jnp.float32)),
+    )
     sigma_a_seg, sigma_s_seg, g_seg, _, seg_in_med = gather_medium(media, seg_medium)
-
-    def do_chunk(ci, acc):
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, ci * chunk, chunk, 0)
-        c_start = sl(b_start)[None, :, :]  # (1,C,3)
-        c_end = sl(b_end)[None, :, :]
-        c_ps = sl(b_ps)[None, :, :]
-        c_pe = sl(b_pe)[None, :, :]
-        c_rad = sl(b_rad)[None, :]
-        c_med = sl(b_med)
-        c_valid = sl(b_valid)[None, :]
-
-        a0 = seg_a0[:, None, :]  # (R,1,3)
-        a1 = seg_a1[:, None, :]
-        if kernel == KERNEL_COMPAT:
-            pa, pb, cp_valid = closest_points_segments(a0, a1, c_start, c_end)
-        else:
-            pa, pb, cp_valid = closest_points_segments_exact(a0, a1, c_start, c_end)
-        dist = length(pa - pb)  # (R,C)
-        width = cam_radius + c_rad
-        r = dist / jnp.maximum(width, 1e-30)
-        in_range = (r < 1.0) & cp_valid & c_valid
-
-        if kernel == KERNEL_COMPAT:
-            # photonbeam.cpp:500-505, including the hardcoded 1e-5 scale.
-            w = 1e-5 * jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0))
-            contrib = w[..., None] * c_pe
-        else:
-            # physically normalized 1D-1D BRE
-            beam_len = jnp.maximum(length(c_end - c_start), 1e-30)
-            b_dirn = (c_end - c_start) / beam_len[..., None]
-            t_b = jnp.sum((pb - c_start) * b_dirn, -1)
-            p_at = _interp_power(c_ps, c_pe, t_b / beam_len)  # (R,C,3)
-
-            t_c = jnp.sum((pa - seg_a0[:, None, :]) * seg_dir[:, None, :], -1)
-            frac_c = jnp.clip(t_c / seg_len[:, None], 0.0, 1.0)
-            tr_cam = _interp_power(
-                jnp.ones_like(seg_tr_full)[:, None, :],
-                jnp.maximum(seg_tr_full, 1e-30)[:, None, :],
-                frac_c,
-            )
-
-            cos_theta = jnp.sum(seg_dir[:, None, :] * b_dirn, -1)
-            rho = phase_hg(cos_theta, g_seg[:, None])
-            sin_theta = jnp.maximum(
-                jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0)),
-                min_sin_theta,
-            )
-            # Epanechnikov line kernel, integral over [-W, W] == 1
-            k1 = 0.75 * (1.0 - r * r) / jnp.maximum(width, 1e-30)
-            w = (rho * k1 / sin_theta)[..., None] * sigma_s_seg[:, None, :]
-            contrib = power_scale * w * p_at * tr_cam
-            contrib = jnp.where(seg_in_med[:, None, None], contrib, 0.0)
-
-        contrib = jnp.where(in_range[..., None], contrib, 0.0)
-        return acc + jnp.sum(contrib, axis=1)
-
-    acc0 = jnp.zeros((R, 3))
-    return jax.lax.fori_loop(0, n_chunks, do_chunk, acc0)
+    seg = dict(
+        a0=seg_a0,
+        a1=seg_a1,
+        dir=seg_dir,
+        len=jnp.maximum(length(seg_a1 - seg_a0), 1e-30),
+        tr_full=seg_tr_full,
+        sigma_s=sigma_s_seg,
+        g=g_seg,
+        in_med_f=seg_in_med.astype(jnp.float32),
+        cam_radius=jnp.broadcast_to(jnp.asarray(cam_radius, jnp.float32), ()),
+    )
+    cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale), float(min_sin_theta))
+    return _gather_core(cfg, pb, seg)

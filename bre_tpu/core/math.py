@@ -42,7 +42,9 @@ def length_squared(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def length(v: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(length_squared(v))
+    # clamped inside the sqrt: d(sqrt)/dx at 0 is inf, and inf * 0-cotangent
+    # from a masked lane is NaN — the classic autodiff trap for dead lanes.
+    return jnp.sqrt(jnp.maximum(length_squared(v), 1e-30))
 
 
 def normalize(v: jnp.ndarray) -> jnp.ndarray:

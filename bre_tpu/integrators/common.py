@@ -73,6 +73,7 @@ def sample_one_light(
     occluded = intersect_p(scene, o_shadow, ls.wi, t_shadow)
     tr = segment_transmittance_det(scene, med_idx, o_shadow, ls.wi, t_shadow)
 
-    contrib = f * ls.Li * tr / jnp.maximum(ls.pdf, 1e-30)[:, None]
-    contrib = jnp.where((~occluded & (ls.pdf > 0.0))[:, None], contrib, 0.0)
+    ok = ~occluded & (ls.pdf > 1e-12)
+    contrib = f * ls.Li * tr / jnp.where(ok, ls.pdf, 1.0)[:, None]
+    contrib = jnp.where(ok[:, None], contrib, 0.0)
     return rng, contrib * jnp.float32(n_lights)

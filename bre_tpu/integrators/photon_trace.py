@@ -104,7 +104,6 @@ def trace_photon_beams(
     photons_per_iter: int,
     max_depth: int,
     beam_radius,
-    rr_start_depth: int = 1,
 ) -> Tuple[Beams, dict]:
     """Trace ``photons_per_iter`` photon paths, emitting beam segments.
 
@@ -112,13 +111,30 @@ def trace_photon_beams(
     (+2 slack steps for pass-through boundary surfaces, which the reference
     handles with ``--depth`` at photonbeam.cpp:300-303).
     """
-    P = photons_per_iter
-    n_steps = max_depth + 2
-    photon_idx = jnp.arange(P, dtype=jnp.uint32)
+    photon_idx = jnp.arange(photons_per_iter, dtype=jnp.uint32)
     halton_index = (
         jnp.uint32(iter_idx) * jnp.uint32(photons_per_iter) + photon_idx
     )
-    rng = pcg32_init(halton_index + jnp.uint32(1))  # photonbeam.cpp:389
+    return trace_photon_beams_by_index(
+        scene, light_distr, halton_index, max_depth, beam_radius
+    )
+
+
+def trace_photon_beams_by_index(
+    scene: Scene,
+    light_distr: Distribution1D,
+    halton_index: jnp.ndarray,
+    max_depth: int,
+    beam_radius,
+) -> Tuple[Beams, dict]:
+    """Shardable core: trace one photon per entry of ``halton_index`` (the
+    global photon stream id ``iter*photonsPerIter + photonIndex``).  A device
+    mesh passes each shard its slice of the global index range — photon
+    decomposition (SURVEY P2) with bit-identical results to the single-chip
+    run for the same index set."""
+    P = halton_index.shape[0]
+    n_steps = max_depth + 2
+    rng = pcg32_init(jnp.asarray(halton_index, jnp.uint32) + jnp.uint32(1))  # photonbeam.cpp:389
 
     # --- light selection + emission (photonbeam.cpp:393-414) ---
     rng, u_light = pcg32_next_f32(rng)
@@ -142,7 +158,11 @@ def trace_photon_beams(
         rng, o, d, beta, medium, alive, depth = state
 
         h = intersect(scene, o, d)
-        t_lim = jnp.where(h.valid, h.t, world_span)
+        t_lim = jnp.minimum(jnp.where(h.valid, h.t, world_span), world_span)
+        # finite hit point even for the t=1e30 miss sentinel: 1e30-scale
+        # coordinates on dead lanes overflow f32 in downstream pairwise
+        # products (gather), poisoning gradients through where-masks.
+        h_p = o + t_lim[:, None] * d
 
         # medium interaction sampling (photonbeam.cpp:270 Medium::Sample)
         rng, ms, _ovf = sample_medium(scene.media, medium, o, d, t_lim, rng)
@@ -186,11 +206,14 @@ def trace_photon_beams(
             scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
             mode=MODE_IMPORTANCE,
         )
+        pdf_ok = bs.pdf > 1e-12
         beta_surface = (
             beta
             * ms.weight  # pass-through medium weight (Tr/pdf)
-            * bs.f
-            * (absdot(bs.wi, h.n) / jnp.maximum(bs.pdf, 1e-30))[:, None]
+            * jnp.where(pdf_ok[:, None], bs.f, 0.0)
+            * jnp.where(
+                pdf_ok, absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0
+            )[:, None]
         )
         # medium on the outgoing side of the surface
         leaving = dot(bs.wi, h.n) > 0.0
@@ -200,7 +223,7 @@ def trace_photon_beams(
         new_o = jnp.where(
             scattered[:, None],
             end,
-            offset_ray_origin(h.p, h.n, jnp.where(is_boundary[:, None], d, bs.wi)),
+            offset_ray_origin(h_p, h.n, jnp.where(is_boundary[:, None], d, bs.wi)),
         )
         new_d = jnp.where(
             scattered[:, None], wi_phase, jnp.where(is_boundary[:, None], d, bs.wi)
@@ -225,13 +248,20 @@ def trace_photon_beams(
 
         # Russian roulette on surface bounces (photonbeam.cpp:320-323)
         rng, u_rr = pcg32_next_f32(rng)
+        lum_old = luminance(beta)
+        lum_ok = lum_old > 1e-20
         q = jnp.maximum(
-            0.0, 1.0 - luminance(new_beta) / jnp.maximum(luminance(beta), 1e-30)
+            0.0,
+            1.0
+            - jnp.where(lum_ok, luminance(new_beta), 0.0)
+            / jnp.where(lum_ok, lum_old, 1.0),
         )
         do_rr = surf & ~is_boundary
         killed = do_rr & (u_rr < q)
+        keep = do_rr & ~killed & (q < 1.0 - 1e-6)
         new_beta = jnp.where(
-            (do_rr & ~killed)[:, None], new_beta / jnp.maximum(1.0 - q, 1e-6)[:, None],
+            keep[:, None],
+            new_beta / jnp.where(keep, 1.0 - q, 1.0)[:, None],
             new_beta,
         )
         new_alive = new_alive & ~killed

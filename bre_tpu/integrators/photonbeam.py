@@ -71,22 +71,42 @@ def camera_pass(
     cfg: PhotonBeamConfig,
     photons_per_iter: int = 1,
 ):
-    """One camera pass (photonbeam.cpp:442-557): per-pixel path walk; per
-    segment, gather beam radiance; direct lighting + BSDF continuation.
-
-    Returns (Ld_contribution (H*W,3), stats).
-    """
+    """One camera pass over the full film. Returns (Ld (H*W,3), stats)."""
     R = width * height
-    kern = KERNEL_COMPAT if cfg.kernel == "compat" else KERNEL_BRE
     pix_idx = jnp.arange(R, dtype=jnp.uint32)
-    rng = pcg32_init(jnp.uint32(iter_idx) * jnp.uint32(R) + pix_idx)
+    stream_ids = jnp.uint32(iter_idx) * jnp.uint32(R) + pix_idx
+    return camera_pass_by_pixels(
+        scene, camera, pixel_centers(width, height), stream_ids, beams,
+        beam_radius, cfg, photons_per_iter,
+    )
+
+
+def camera_pass_by_pixels(
+    scene: Scene,
+    camera: Camera,
+    p_raster_base: jnp.ndarray,  # (R,2) raster positions (pixel centers)
+    stream_ids: jnp.ndarray,  # (R,) uint32 per-pixel sampler stream ids
+    beams,
+    beam_radius,
+    cfg: PhotonBeamConfig,
+    photons_per_iter: int = 1,
+):
+    """Shardable camera pass (photonbeam.cpp:442-557): per-pixel path walk;
+    per segment, gather beam radiance; direct lighting + BSDF continuation.
+    A device mesh passes each shard its slice of the pixel grid (SURVEY P1).
+
+    Returns (Ld_contribution (R,3), stats).
+    """
+    R = p_raster_base.shape[0]
+    kern = KERNEL_COMPAT if cfg.kernel == "compat" else KERNEL_BRE
+    rng = pcg32_init(stream_ids)
 
     # camera ray with per-iteration jitter (reference: sampler-driven
     # GetCameraSample, photonbeam.cpp:465-470)
     rng, jx = pcg32_next_f32(rng)
     rng, jy = pcg32_next_f32(rng)
     jitter = jnp.stack([jx, jy], -1) - 0.5
-    p_raster = pixel_centers(width, height) + jitter
+    p_raster = p_raster_base + jitter
     o, d = generate_rays(camera, p_raster)
 
     state = dict(
@@ -111,7 +131,14 @@ def camera_pass(
         miss = alive & ~h.valid
         Ld = Ld + jnp.where(miss[:, None], beta * escaped_radiance(scene, d), 0.0)
 
-        tr_seg = segment_transmittance_det(scene, medium, o, d, h.t)
+        # Missed rays carry the t=1e30 sentinel: clamp the working segment to
+        # world scale or 1e30-coordinates overflow f32 inside the gather
+        # (inf forward poisons gradients even under where-masks).
+        diag = scene.world_max - scene.world_min
+        world_span = 2.0 * jnp.sqrt(jnp.sum(diag * diag)) + 1.0
+        t_seg = jnp.minimum(h.t, world_span)
+        p_seg_end = o + t_seg[:, None] * d
+        tr_seg = segment_transmittance_det(scene, medium, o, d, t_seg)
 
         if cfg.rendermedia:
             seg_valid = alive & h.valid
@@ -119,7 +146,7 @@ def camera_pass(
                 beams,
                 scene.media,
                 o,
-                h.p,
+                p_seg_end,
                 d,
                 medium,
                 tr_seg,
@@ -152,7 +179,7 @@ def camera_pass(
         # direct lighting (photonbeam.cpp:530-532)
         if cfg.rendersurfaces:
             rng, nee = sample_one_light(
-                scene, rng, h.p, h.n, -d, h.material, medium,
+                scene, rng, p_seg_end, h.n, -d, h.material, medium,
                 jnp.ones((R,), bool),
             )
             Ld = Ld + jnp.where(
@@ -169,9 +196,12 @@ def camera_pass(
         cont = surf & ~is_boundary & bs.valid & (
             jnp.ones((R,), bool) if cfg.rendersurfaces else jnp.zeros((R,), bool)
         )
+        pdf_ok = cont & (bs.pdf > 1e-12)
         new_beta = jnp.where(
-            cont[:, None],
-            beta * bs.f * (absdot(bs.wi, h.n) / jnp.maximum(bs.pdf, 1e-30))[:, None],
+            pdf_ok[:, None],
+            beta
+            * bs.f
+            * (absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0))[:, None],
             beta,
         )
         new_d = jnp.where(
@@ -179,7 +209,7 @@ def camera_pass(
         )
         new_o = jnp.where(
             surf[:, None],
-            offset_ray_origin(h.p, h.n, jnp.where(is_boundary[:, None], d, bs.wi)),
+            offset_ray_origin(p_seg_end, h.n, jnp.where(is_boundary[:, None], d, bs.wi)),
             o,
         )
         new_medium = jnp.where(
@@ -201,9 +231,10 @@ def camera_pass(
         do_rr = new_alive & (y < 0.25) & ~is_boundary
         cont_prob = jnp.minimum(1.0, y)
         killed = do_rr & (u_rr > cont_prob)
+        keep = do_rr & ~killed & (cont_prob > 1e-6)
         new_beta = jnp.where(
-            (do_rr & ~killed)[:, None],
-            new_beta / jnp.maximum(cont_prob, 1e-6)[:, None],
+            keep[:, None],
+            new_beta / jnp.where(keep, cont_prob, 1.0)[:, None],
             new_beta,
         )
         new_alive = new_alive & ~killed
@@ -221,7 +252,12 @@ def camera_pass(
         )
         return out, None
 
-    state, _ = jax.lax.scan(step, state, None, length=cfg.maxdepth + 2)
+    # Unrolled (not lax.scan): scan's partial-evaluation defeats the gather's
+    # custom-VJP memory bound by saving per-chunk internals across steps;
+    # unrolling keeps each depth step's gather opaque to AD.  Depth counts
+    # are small (<=10), so compile-time cost is modest.
+    for _depth in range(cfg.maxdepth + 2):
+        state, _ = step(state, None)
     stats = dict(camera_rays=jnp.int32(R))
     return state["Ld"], stats
 

@@ -63,7 +63,10 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
         L = state["L"]
 
         h = intersect(scene, o, d)
-        t_lim = jnp.where(h.valid, h.t, jnp.float32(1e8))
+        t_lim = jnp.where(h.valid, h.t, jnp.float32(1e6))
+        # finite hit point even for the t=1e30 miss sentinel (f32 overflow
+        # in downstream products otherwise)
+        h_p = o + jnp.minimum(h.t, 1e6)[:, None] * d
 
         rng, ms, _ovf = sample_medium(scene.media, medium, o, d, t_lim, rng)
         scattered = ms.sampled & alive
@@ -99,7 +102,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
         L = L + jnp.where(see_le[:, None], beta * Le, 0.0)
 
         rng, nee_surf = sample_one_light(
-            scene, rng, h.p, h.n, -d, h.material, medium, jnp.ones((R,), bool)
+            scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool)
         )
         L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
 
@@ -110,15 +113,20 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
             mode=MODE_RADIANCE,
         )
         cont_surf = surf & ~is_boundary & bs.valid
-        beta_surf = beta * bs.f * (
-            absdot(bs.wi, h.n) / jnp.maximum(bs.pdf, 1e-30)
-        )[:, None]
+        pdf_ok = cont_surf & (bs.pdf > 1e-12)
+        beta_surf = (
+            beta
+            * jnp.where(pdf_ok[:, None], bs.f, 0.0)
+            * jnp.where(pdf_ok, absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0)[
+                :, None
+            ]
+        )
 
         # ----- select continuation -----
         new_o = jnp.where(
             scattered[:, None],
             p_med,
-            offset_ray_origin(h.p, h.n, jnp.where(is_boundary[:, None], d, bs.wi)),
+            offset_ray_origin(h_p, h.n, jnp.where(is_boundary[:, None], d, bs.wi)),
         )
         new_d = jnp.where(
             scattered[:, None], wi_phase, jnp.where(is_boundary[:, None], d, bs.wi)
@@ -152,8 +160,9 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
         do_rr = new_alive & (y < cfg.rrthreshold) & (bounces > 3)
         q = jnp.maximum(0.05, 1.0 - y)
         killed = do_rr & (u_rr < q)
+        keep = do_rr & ~killed & (q < 1.0 - 1e-6)
         new_beta = jnp.where(
-            (do_rr & ~killed)[:, None], new_beta / (1.0 - q)[:, None], new_beta
+            keep[:, None], new_beta / jnp.where(keep, 1.0 - q, 1.0)[:, None], new_beta
         )
         new_alive = new_alive & ~killed
 

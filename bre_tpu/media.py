@@ -172,9 +172,13 @@ def sample_homogeneous(
     d_len = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-30))
     channel = jnp.minimum((u_channel * 3).astype(jnp.int32), 2)
     sig_c = jnp.take_along_axis(sigma_t, channel[..., None], -1)[..., 0]
-    dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-38)) / jnp.maximum(sig_c, 1e-30)
-    t = jnp.minimum(dist / d_len, t_max)  # dist*|d| vs tMax in world param
-    sampled = (t < t_max) & (sig_c > 0.0)
+    # where-isolation: never divide by a clamped-tiny sigma on the live path —
+    # the backward pass of log/sigma^2 overflows f32 for vacuum lanes.
+    pos = sig_c > 1e-12
+    sig_safe = jnp.where(pos, sig_c, 1.0)
+    dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-38)) / sig_safe
+    t = jnp.where(pos, jnp.minimum(dist / d_len, t_max), t_max)
+    sampled = (t < t_max) & pos
     tr = jnp.exp(-sigma_t * jnp.minimum((t * d_len)[..., None], _MAX_F))
     density = jnp.where(sampled[..., None], sigma_t * tr, tr)
     pdf = jnp.mean(density, -1)

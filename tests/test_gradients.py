@@ -1,0 +1,96 @@
+"""Differentiability tests: finite-difference checks of pixel gradients w.r.t.
+medium parameters (the BASELINE "image+grad allclose" contract)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bre_tpu import media
+from bre_tpu.core import transform as tfm
+from bre_tpu.integrators.photonbeam import PhotonBeamConfig, camera_pass
+from bre_tpu.integrators.photon_trace import trace_photon_beams
+from bre_tpu.lights import light_power_distribution
+from bre_tpu.scene.camera import make_perspective_camera
+
+from test_photonbeam import fog_cube_scene
+
+
+def _loss_fn(scene, cam, wh, cfg):
+    distr = light_power_distribution(scene)
+
+    def loss(sigma_a, sigma_s):
+        sc = scene._replace(
+            media=scene.media._replace(sigma_a=sigma_a, sigma_s=sigma_s)
+        )
+        beams, _ = trace_photon_beams(
+            sc, distr, jnp.uint32(0), cfg.photonsperiteration, cfg.maxdepth,
+            jnp.float32(cfg.initialbeamradius),
+        )
+        Ld, _ = camera_pass(
+            sc, cam, wh, wh, beams, jnp.float32(cfg.initialbeamradius),
+            jnp.uint32(0), cfg, cfg.photonsperiteration,
+        )
+        return jnp.mean(Ld)
+
+    return jax.jit(loss)
+
+
+def test_bre_gradient_matches_finite_difference():
+    """d(mean image)/d(sigma) by autodiff == central finite differences.
+
+    The estimator is deterministic for fixed seeds, so FD is exact up to
+    float32 truncation; discrete structure (scatter events, BVH-free gather
+    masks) is stop-gradded, so FD uses a step small enough not to flip events.
+    """
+    scene = fog_cube_scene(sigma_a=0.1, sigma_s=0.5, g=0.0, intensity=1.0).build()
+    wh = 12
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.2), (0, 0, 0), (0, 1, 0)), 45.0, wh, wh
+    )
+    cfg = PhotonBeamConfig(
+        maxdepth=3, photonsperiteration=512, initialbeamradius=0.35,
+        gather_chunk=512,
+    )
+    loss = _loss_fn(scene, cam, wh, cfg)
+    sa = scene.media.sigma_a
+    ss = scene.media.sigma_s
+
+    g_sa, g_ss = jax.grad(loss, argnums=(0, 1))(sa, ss)
+    assert np.isfinite(np.asarray(g_sa)).all()
+    assert np.isfinite(np.asarray(g_ss)).all()
+
+    eps = 1e-3
+    for arg, g in [(0, g_sa), (1, g_ss)]:
+        # perturb the red channel of the single medium
+        delta = jnp.zeros_like(sa).at[0, 0].set(eps)
+        if arg == 0:
+            f_p, f_m = loss(sa + delta, ss), loss(sa - delta, ss)
+        else:
+            f_p, f_m = loss(sa, ss + delta), loss(sa, ss - delta)
+        fd = (float(f_p) - float(f_m)) / (2 * eps)
+        ad = float(np.asarray(g)[0, 0])
+        # discrete-event flips under FD cause small mismatch; 12% + abs floor
+        assert abs(fd - ad) <= 0.12 * max(abs(fd), abs(ad)) + 2e-4, (
+            f"arg {arg}: fd={fd} ad={ad}"
+        )
+    # physics sanity: more scattering -> brighter in-scatter (positive d/dss),
+    # more absorption -> dimmer (negative d/dsa)
+    assert float(np.asarray(g_sa).sum()) < 0
+    assert float(np.asarray(g_ss).sum()) > 0
+
+
+def test_homogeneous_tr_grad_through_transmittance_fn():
+    med = fog_cube_scene().build().media
+
+    def f(sa):
+        m = med._replace(sigma_a=sa)
+        tr = media.tr_homogeneous(
+            m.sigma_a[0:1], m.sigma_s[0:1], jnp.array([[0.0, 0.0, 1.0]]),
+            jnp.array([2.0]),
+        )
+        return tr.sum()
+
+    g = np.asarray(jax.grad(f)(med.sigma_a))
+    sigma_t = float(med.sigma_a[0, 0] + med.sigma_s[0, 0])
+    want = -2.0 * np.exp(-sigma_t * 2.0)
+    np.testing.assert_allclose(g[0], want, rtol=1e-4)
