@@ -1,0 +1,120 @@
+"""Command-line renderer: ``python -m bre_tpu.cli scene.pbrt``.
+
+Reference: /root/reference/src/main/pbrt.cpp:74-162 — flags --outfile,
+--quick, --quiet, --nthreads (accepted for compatibility; the device mesh
+replaces the thread pool), --cat/--toly omitted (tooling in bre_tpu.tools).
+Flow mirrors pbrtInit -> ParseFile -> render -> write (api.cpp:1361-1417).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="bre_tpu",
+        description="TPU-native volumetric photon-mapping renderer (pbrt-compatible scenes)",
+    )
+    ap.add_argument("scene", help=".pbrt scene file")
+    ap.add_argument("--outfile", "-o", default=None, help="override output image path")
+    ap.add_argument("--quick", action="store_true",
+                    help="reduce iteration counts 16x (pbrt --quick)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--nthreads", type=int, default=0,
+                    help="accepted for pbrt compatibility (mesh-parallel instead)")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .io.image import write_image
+    from .scene.parser import parse_file
+
+    t0 = time.time()
+    try:
+        ps = parse_file(args.scene)
+    except FileNotFoundError:
+        print(f"error: scene file not found: {args.scene}", file=sys.stderr)
+        return 1
+    scene = ps.build()
+    if ps.camera is None:
+        print("error: scene has no Camera directive", file=sys.stderr)
+        return 1
+    if not args.quiet:
+        print(
+            f"bre_tpu: parsed {args.scene}: {scene.n_spheres} spheres, "
+            f"{scene.n_triangles} triangles, {scene.n_lights} lights, "
+            f"{scene.n_media} media; integrator={ps.integrator_name} "
+            f"{ps.width}x{ps.height}"
+        )
+
+    p = ps.integrator_params
+    name = ps.integrator_name
+
+    def geti(key, default):
+        v = p.get(key, default)
+        return int(v[0] if isinstance(v, list) else v)
+
+    def getf(key, default):
+        v = p.get(key, default)
+        return float(v[0] if isinstance(v, list) else v)
+
+    quick = 16 if args.quick else 1
+
+    if name == "photonbeam":
+        from .integrators.photonbeam import PhotonBeamConfig, render_photonbeam
+
+        iters = max(1, geti("iterations", geti("numiterations", 64)) // quick)
+        cfg = PhotonBeamConfig(
+            iterations=iters,
+            startiteration=geti("startiteration", 0),
+            enditeration=geti("enditeration", iters),
+            maxdepth=geti("maxdepth", 5),
+            photonsperiteration=geti("photonsperiteration", -1),
+            imagewritefrequency=geti("imagewritefrequency", 1 << 31),
+            initialbeamradius=getf("initialbeamradius", 1.0),
+            alpha=getf("alpha", 0.5),
+            rendersurfaces=bool(p.get("rendersurfaces", True)),
+            rendermedia=bool(p.get("rendermedia", True)),
+        )
+        img, stats = render_photonbeam(scene, ps.camera, ps.width, ps.height, cfg)
+    elif name == "vsppm":
+        from .integrators.vsppm import VSPPMConfig, render_vsppm
+
+        cfg = VSPPMConfig(
+            iterations=max(1, geti("iterations", geti("numiterations", 64)) // quick),
+            maxdepth=geti("maxdepth", 5),
+            photonsperiteration=geti("photonsperiteration", -1),
+            radius=getf("radius", 1.0),
+            rendersurfaces=bool(p.get("rendersurfaces", True)),
+            rendermedia=bool(p.get("rendermedia", True)),
+        )
+        img, stats = render_vsppm(scene, ps.camera, ps.width, ps.height, cfg)
+    elif name in ("volpath", "path", "whitted", "directlighting"):
+        from .integrators.volpath import VolPathConfig, render_volpath
+
+        spp = 16
+        if isinstance(ps.sampler_params.get("pixelsamples"), (int, float, list)):
+            v = ps.sampler_params["pixelsamples"]
+            spp = int(v[0] if isinstance(v, list) else v)
+        cfg = VolPathConfig(maxdepth=geti("maxdepth", 5), spp=max(1, spp // quick))
+        img = render_volpath(scene, ps.camera, ps.width, ps.height, cfg)
+        stats = {}
+    else:
+        print(f"error: integrator '{name}' not supported yet", file=sys.stderr)
+        return 1
+
+    out = args.outfile or ps.filename
+    write_image(out, np.asarray(img))
+    if not args.quiet:
+        dt = time.time() - t0
+        print(f"bre_tpu: wrote {out} ({dt:.1f}s)")
+        for k, v in (stats or {}).items():
+            print(f"  {k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

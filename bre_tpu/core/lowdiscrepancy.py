@@ -20,7 +20,13 @@ import jax.numpy as jnp
 
 from .rng import ONE_MINUS_EPSILON
 
-__all__ = ["PRIMES", "PRIME_SUMS", "radical_inverse", "reverse_bits_32"]
+__all__ = [
+    "PRIMES",
+    "PRIME_SUMS",
+    "radical_inverse",
+    "radical_inverse_dynamic",
+    "reverse_bits_32",
+]
 
 
 def _sieve_primes(n: int) -> np.ndarray:
@@ -107,6 +113,46 @@ def radical_inverse(base_index: int, a: jnp.ndarray) -> jnp.ndarray:
         rd_hi = jnp.where(live, new_hi, rd_hi)
         rd_lo = jnp.where(live, new_lo, rd_lo)
         inv_base_n = inv_base_n * jnp.where(live, inv_base, jnp.float32(1.0))
+        cur = nxt
+    rd = rd_hi.astype(jnp.float32) * jnp.float32(2.0**32) + rd_lo.astype(jnp.float32)
+    return jnp.minimum(rd * inv_base_n, ONE_MINUS_EPSILON)
+
+
+_PRIMES_J = jnp.asarray(PRIMES, jnp.uint32)
+
+
+def radical_inverse_dynamic(base_index: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """RadicalInverse with a *per-lane* base index array (uint32 indices).
+
+    Needed by samplers whose lanes sit at different Halton dimensions (the
+    reference's per-path ``haltonDim`` counters, vsppm.cpp:122-184).  Same
+    digit recursion as :func:`radical_inverse` with a 32-iteration masked
+    loop (enough for any base >= 2 and a < 2^32); the base-2 case hits the
+    generic path (float32-identical to the bit-reversal formula up to the
+    final rounding, within 1 ulp).
+    """
+    base_index = jnp.clip(jnp.asarray(base_index, jnp.int32), 0, 999)
+    a = jnp.asarray(a, jnp.uint32)
+    base = _PRIMES_J[base_index]
+    inv_base = 1.0 / base.astype(jnp.float32)
+    rd_hi = jnp.zeros_like(a)
+    rd_lo = jnp.zeros_like(a)
+    inv_base_n = jnp.ones(a.shape, jnp.float32)
+    cur = a
+    for _ in range(32):
+        nxt = cur // base
+        digit = cur - nxt * base
+        lo_lo = (rd_lo & jnp.uint32(0xFFFF)) * base
+        lo_up = (rd_lo >> 16) * base
+        lo_prod = lo_lo + (lo_up << 16)
+        carry_mid = (lo_prod < lo_lo).astype(jnp.uint32)
+        new_lo = lo_prod + digit
+        carry_dig = (new_lo < lo_prod).astype(jnp.uint32)
+        new_hi = rd_hi * base + (lo_up >> 16) + carry_mid + carry_dig
+        live = cur > 0
+        rd_hi = jnp.where(live, new_hi, rd_hi)
+        rd_lo = jnp.where(live, new_lo, rd_lo)
+        inv_base_n = inv_base_n * jnp.where(live, inv_base, 1.0)
         cur = nxt
     rd = rd_hi.astype(jnp.float32) * jnp.float32(2.0**32) + rd_lo.astype(jnp.float32)
     return jnp.minimum(rd * inv_base_n, ONE_MINUS_EPSILON)

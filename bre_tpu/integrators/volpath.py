@@ -38,6 +38,11 @@ class VolPathConfig:
     maxdepth: int = 5
     spp: int = 16
     rrthreshold: float = 1.0  # volpath.cpp rrThreshold param
+    # indirect transport selector: "full" = path/volpath; "specular" =
+    # whitted/directlighting semantics (only specular continuations, direct
+    # lighting via NEE at every hit — reference src/integrators/whitted.cpp
+    # and directlighting.cpp)
+    indirect: str = "full"
 
 
 def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
@@ -113,6 +118,8 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
             mode=MODE_RADIANCE,
         )
         cont_surf = surf & ~is_boundary & bs.valid
+        if cfg.indirect == "specular":
+            cont_surf = cont_surf & bs.specular
         pdf_ok = cont_surf & (bs.pdf > 1e-12)
         beta_surf = (
             beta

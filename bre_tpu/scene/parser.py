@@ -1,0 +1,429 @@
+""".pbrt scene-language parser + graphics-state machine.
+
+Reference: the flex/bison grammar (/root/reference/src/core/pbrtlex.ll,
+pbrtparse.y) driving the stateful API (/root/reference/src/core/api.cpp):
+CTM stack + ``pbrtAttributeBegin/End`` (api.cpp:994-1023), graphics state
+(current material / area light / medium interface), ``pbrtShape`` (:1157),
+``pbrtMakeNamedMedium`` (:955), ``pbrtWorldEnd`` (:1361), ParamSet typed
+key/value bags (src/core/paramset.{h,cpp}).
+
+TPU-first design: a recursive-descent tokenizer + statement loop (no yacc)
+that feeds the declarative :class:`~bre_tpu.scene.builder.SceneBuilder`; the
+"state machine" lives only during parsing — the output is the frozen Scene
+pytree plus camera/film/integrator configs.  Covers the directive subset the
+BASELINE configs use (spheres, triangle meshes, matte/mirror/glass, point/
+distant/infinite/area lights, homogeneous/grid media, perspective camera,
+photonbeam/vsppm/volpath/path integrators); unknown directives warn and are
+skipped with their parameter lists (the reference's ReportUnused analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import warnings
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core import transform as tfm
+from .builder import SceneBuilder
+from .camera import Camera, make_orthographic_camera, make_perspective_camera
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\[|\]|[^\s"\[\]#]+|#[^\n]*')
+
+
+def tokenize(text: str) -> List[str]:
+    """Lex a .pbrt file into tokens (strings keep quotes; comments dropped).
+    Mirrors pbrtlex.ll's token classes."""
+    return [t for t in _TOKEN_RE.findall(text) if not t.startswith("#")]
+
+
+def _is_number(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+class _TokenStream:
+    def __init__(self, tokens: List[str], include_dir: Path):
+        self.toks = tokens
+        self.pos = 0
+        self.include_dir = include_dir
+
+    def peek(self) -> Optional[str]:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def done(self) -> bool:
+        return self.pos >= len(self.toks)
+
+
+def parse_params(ts: _TokenStream) -> Dict[str, object]:
+    """Parse a ParamSet: sequence of '"type name" value-or-[values]'."""
+    params: Dict[str, object] = {}
+    while True:
+        t = ts.peek()
+        if t is None or not (t.startswith('"') and " " in t):
+            break
+        decl = ts.next().strip('"')
+        ptype, pname = decl.split(None, 1)
+        vals: List[object] = []
+        if ts.peek() == "[":
+            ts.next()
+            while ts.peek() != "]":
+                vals.append(ts.next())
+            ts.next()
+        else:
+            vals.append(ts.next())
+
+        def conv(v):
+            v = v.strip('"') if isinstance(v, str) and v.startswith('"') else v
+            if ptype in ("integer",):
+                return int(float(v))
+            if ptype in ("float", "point", "point3", "point2", "vector", "vector3",
+                         "normal", "normal3", "rgb", "color", "spectrum", "blackbody"):
+                return float(v)
+            if ptype == "bool":
+                return str(v).strip('"') == "true"
+            return str(v)
+
+        conv_vals = [conv(v) for v in vals]
+        params[pname] = conv_vals[0] if len(conv_vals) == 1 and ptype in (
+            "integer", "float", "bool", "string", "texture",
+        ) else conv_vals
+    return params
+
+
+def _p3(params, name, default):
+    v = params.get(name)
+    if v is None:
+        return np.asarray(default, np.float32)
+    a = np.asarray(v, np.float32).reshape(-1)
+    return a[:3] if a.size >= 3 else np.full(3, a[0], np.float32)
+
+
+def _f(params, name, default):
+    v = params.get(name, default)
+    if isinstance(v, list):
+        v = v[0]
+    return float(v)
+
+
+def _i(params, name, default):
+    v = params.get(name, default)
+    if isinstance(v, list):
+        v = v[0]
+    return int(v)
+
+
+@dataclasses.dataclass
+class _GraphicsState:
+    material: int = -1
+    area_light: Optional[Dict] = None
+    inside_medium: int = -1
+    outside_medium: int = -1
+    reverse_orientation: bool = False
+
+
+@dataclasses.dataclass
+class ParsedScene:
+    builder: SceneBuilder
+    camera: Optional[Camera]
+    width: int
+    height: int
+    integrator_name: str
+    integrator_params: Dict
+    sampler_name: str
+    sampler_params: Dict
+    filter_name: str
+    filename: str
+
+    def build(self):
+        return self.builder.build()
+
+
+def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
+    ts = _TokenStream(tokenize(text), include_dir)
+    b = SceneBuilder()
+    gs = _GraphicsState()
+    gs_stack: List[_GraphicsState] = []
+    ctm = np.eye(4, dtype=np.float32)
+    ctm_stack: List[np.ndarray] = []
+    named_coords: Dict[str, np.ndarray] = {}
+    named_materials: Dict[str, int] = {}
+    named_media: Dict[str, int] = {}
+
+    cam_to_world: Optional[np.ndarray] = None
+    cam_params: Dict = {}
+    cam_type = "perspective"
+    width, height = 640, 480
+    filename = "pbrt.exr"
+    integ_name, integ_params = "path", {}
+    samp_name, samp_params = "halton", {}
+    filt_name = "box"
+    in_world = False
+
+    def apply(m):
+        nonlocal ctm
+        ctm = ctm @ np.asarray(m, np.float32)
+
+    def xf_point(p):
+        return (ctm[:3, :3] @ np.asarray(p, np.float32)) + ctm[:3, 3]
+
+    def make_material(mat_type: str, params: Dict) -> int:
+        if mat_type == "matte":
+            return b.matte(_p3(params, "Kd", (0.5, 0.5, 0.5)), _f(params, "sigma", 0.0))
+        if mat_type == "mirror":
+            return b.mirror(_p3(params, "Kr", (0.9, 0.9, 0.9)))
+        if mat_type == "glass":
+            return b.glass(
+                _p3(params, "Kr", (1, 1, 1)), _p3(params, "Kt", (1, 1, 1)),
+                _f(params, "eta", _f(params, "index", 1.5)),
+            )
+        if mat_type in ("", "none"):
+            return -1
+        warnings.warn(f"material '{mat_type}' not implemented; using matte")
+        return b.matte(_p3(params, "Kd", (0.5, 0.5, 0.5)))
+
+    while not ts.done():
+        tok = ts.next()
+
+        if tok == "Include":
+            inc = ts.next().strip('"')
+            inc_path = ts.include_dir / inc
+            sub = tokenize(inc_path.read_text())
+            ts.toks[ts.pos:ts.pos] = sub
+        elif tok == "Identity":
+            ctm = np.eye(4, dtype=np.float32)
+        elif tok == "Translate":
+            apply(np.asarray(tfm.translate([float(ts.next()) for _ in range(3)])))
+        elif tok == "Scale":
+            apply(np.asarray(tfm.scale(*[float(ts.next()) for _ in range(3)])))
+        elif tok == "Rotate":
+            vals = [float(ts.next()) for _ in range(4)]
+            apply(np.asarray(tfm.rotate(vals[0], vals[1:])))
+        elif tok == "LookAt":
+            vals = [float(ts.next()) for _ in range(9)]
+            # LookAt specifies world-to-camera as CTM multiplier; camera_to_world
+            # is its inverse of the final CTM (api semantics)
+            apply(np.linalg.inv(np.asarray(tfm.look_at(vals[0:3], vals[3:6], vals[6:9]))))
+        elif tok in ("Transform", "ConcatTransform"):
+            assert ts.next() == "["
+            vals = [float(ts.next()) for _ in range(16)]
+            assert ts.next() == "]"
+            m = np.asarray(vals, np.float32).reshape(4, 4).T  # column-major input
+            if tok == "Transform":
+                ctm = m
+            else:
+                apply(m)
+        elif tok == "CoordinateSystem":
+            named_coords[ts.next().strip('"')] = ctm.copy()
+        elif tok == "CoordSysTransform":
+            name = ts.next().strip('"')
+            if name in named_coords:
+                ctm = named_coords[name].copy()
+        elif tok == "Camera":
+            cam_type = ts.next().strip('"')
+            cam_params = parse_params(ts)
+            cam_to_world = np.linalg.inv(ctm)
+            named_coords["camera"] = np.linalg.inv(cam_to_world)
+        elif tok == "Film":
+            ts.next()  # "image"
+            p = parse_params(ts)
+            width = _i(p, "xresolution", 640)
+            height = _i(p, "yresolution", 480)
+            filename = str(p.get("filename", "pbrt.exr")).strip('"')
+        elif tok == "Integrator":
+            integ_name = ts.next().strip('"')
+            integ_params = parse_params(ts)
+        elif tok == "Sampler":
+            samp_name = ts.next().strip('"')
+            samp_params = parse_params(ts)
+        elif tok == "PixelFilter":
+            filt_name = ts.next().strip('"')
+            parse_params(ts)
+        elif tok == "Accelerator":
+            ts.next()
+            parse_params(ts)
+        elif tok == "WorldBegin":
+            in_world = True
+            ctm = np.eye(4, dtype=np.float32)
+        elif tok == "WorldEnd":
+            in_world = False
+        elif tok in ("AttributeBegin", "TransformBegin", "ObjectBegin"):
+            if tok == "ObjectBegin":
+                ts.next()  # name (instancing treated as inline)
+            gs_stack.append(dataclasses.replace(gs))
+            ctm_stack.append(ctm.copy())
+        elif tok in ("AttributeEnd", "TransformEnd", "ObjectEnd"):
+            if gs_stack:
+                gs = gs_stack.pop()
+                ctm = ctm_stack.pop()
+        elif tok == "ObjectInstance":
+            ts.next()
+        elif tok == "ReverseOrientation":
+            gs.reverse_orientation = not gs.reverse_orientation
+        elif tok == "Material":
+            mat_type = ts.next().strip('"')
+            gs.material = make_material(mat_type, parse_params(ts))
+            gs.area_light = None
+        elif tok == "MakeNamedMaterial":
+            name = ts.next().strip('"')
+            p = parse_params(ts)
+            named_materials[name] = make_material(str(p.get("type", "matte")).strip('"'), p)
+        elif tok == "NamedMaterial":
+            name = ts.next().strip('"')
+            gs.material = named_materials.get(name, -1)
+        elif tok == "Texture":
+            ts.next()
+            ts.next()
+            ts.next()
+            parse_params(ts)
+        elif tok == "MakeNamedMedium":
+            name = ts.next().strip('"')
+            p = parse_params(ts)
+            mtype = str(p.get("type", "homogeneous")).strip('"')
+            sa = _p3(p, "sigma_a", (1, 1, 1))
+            ss = _p3(p, "sigma_s", (1, 1, 1))
+            g = _f(p, "g", 0.0)
+            scale = _f(p, "scale", 1.0)
+            if mtype == "homogeneous":
+                named_media[name] = b.homogeneous_medium(sa * scale, ss * scale, g)
+            elif mtype == "heterogeneous":
+                nx = _i(p, "nx", 1)
+                ny = _i(p, "ny", 1)
+                nz = _i(p, "nz", 1)
+                dens = np.asarray(p.get("density", [1.0]), np.float32).reshape(nz, ny, nx)
+                p0 = _p3(p, "p0", (0, 0, 0))
+                p1 = _p3(p, "p1", (1, 1, 1))
+                # medium-to-world = ctm * translate(p0) * scale(p1-p0)
+                m2w = ctm @ np.asarray(tfm.translate(p0)) @ np.asarray(
+                    tfm.scale(*(p1 - p0))
+                )
+                named_media[name] = b.grid_medium(
+                    dens, np.linalg.inv(m2w), sa * scale, ss * scale, g
+                )
+            else:
+                warnings.warn(f"medium type '{mtype}' unsupported")
+        elif tok == "MediumInterface":
+            inside = ts.next().strip('"')
+            outside = ts.next().strip('"') if (ts.peek() or "").startswith('"') else ""
+            gs.inside_medium = named_media.get(inside, -1)
+            gs.outside_medium = named_media.get(outside, -1)
+            if not in_world:
+                b.camera_medium = named_media.get(outside, named_media.get(inside, -1))
+        elif tok == "LightSource":
+            ltype = ts.next().strip('"')
+            p = parse_params(ts)
+            scale_ = _p3(p, "scale", (1, 1, 1))
+            if ltype == "point":
+                I = _p3(p, "I", (1, 1, 1)) * scale_
+                from_ = xf_point(_p3(p, "from", (0, 0, 0)))
+                b.point_light(from_, I, medium=gs.outside_medium)
+            elif ltype == "distant":
+                L = _p3(p, "L", (1, 1, 1)) * scale_
+                from_ = xf_point(_p3(p, "from", (0, 0, 0)))
+                to = xf_point(_p3(p, "to", (0, 0, 1)))
+                b.distant_light(to - from_, L)
+            elif ltype == "infinite":
+                L = _p3(p, "L", (1, 1, 1)) * scale_
+                b.infinite_light(L)
+            else:
+                warnings.warn(f"light '{ltype}' unsupported; treated as point")
+                b.point_light(xf_point((0, 0, 0)), _p3(p, "I", (1, 1, 1)))
+        elif tok == "AreaLightSource":
+            ts.next()  # "diffuse"
+            p = parse_params(ts)
+            gs.area_light = dict(
+                L=_p3(p, "L", (1, 1, 1)), twosided=bool(p.get("twosided", False))
+            )
+        elif tok == "Shape":
+            stype = ts.next().strip('"')
+            p = parse_params(ts)
+            mi, mo = gs.inside_medium, gs.outside_medium
+            if stype == "sphere":
+                r = _f(p, "radius", 1.0)
+                c = xf_point((0, 0, 0))
+                if gs.area_light is not None:
+                    b.area_light_sphere(
+                        c, r, gs.area_light["L"], material=gs.material,
+                        two_sided=gs.area_light["twosided"], medium=mo,
+                        medium_inside=mi,
+                    )
+                else:
+                    b.sphere(c, r, material=gs.material, medium_inside=mi,
+                             medium_outside=mo)
+            elif stype == "trianglemesh":
+                idx = [int(v) for v in p.get("indices", [])]
+                pts = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
+                pts_w = pts @ ctm[:3, :3].T + ctm[:3, 3]
+                for k in range(0, len(idx), 3):
+                    v0, v1, v2 = pts_w[idx[k]], pts_w[idx[k + 1]], pts_w[idx[k + 2]]
+                    if gs.reverse_orientation:
+                        v1, v2 = v2, v1
+                    if gs.area_light is not None:
+                        light_id = len(b._light)
+                        tidx = b.triangle(v0, v1, v2, material=gs.material,
+                                          medium_inside=mi, medium_outside=mo,
+                                          _area_light=light_id)
+                        from .scene import LIGHT_DIFFUSE_AREA, SHAPE_TRIANGLE
+
+                        b._light.append(dict(
+                            ltype=LIGHT_DIFFUSE_AREA,
+                            position=(v0 + v1 + v2) / 3.0,
+                            direction=np.zeros(3, np.float32),
+                            emit=np.asarray(gs.area_light["L"], np.float32),
+                            shape_kind=SHAPE_TRIANGLE,
+                            shape_index=tidx,
+                            two_sided=int(gs.area_light["twosided"]),
+                            medium=mo,
+                        ))
+                    else:
+                        b.triangle(v0, v1, v2, material=gs.material,
+                                   medium_inside=mi, medium_outside=mo)
+            else:
+                warnings.warn(f"shape '{stype}' unsupported; skipped")
+        else:
+            if tok.startswith('"') or _is_number(tok) or tok in ("[", "]"):
+                continue  # stray value from a skipped directive
+            warnings.warn(f"unknown directive '{tok}' skipped")
+            parse_params(ts)
+
+    camera = None
+    if cam_to_world is not None:
+        if cam_type == "perspective":
+            camera = make_perspective_camera(
+                np.asarray(cam_to_world),
+                _f(cam_params, "fov", 90.0),
+                width, height,
+                lens_radius=_f(cam_params, "lensradius", 0.0),
+                focal_distance=_f(cam_params, "focaldistance", 1e6),
+            )
+        elif cam_type == "orthographic":
+            camera = make_orthographic_camera(np.asarray(cam_to_world), width, height)
+        else:
+            warnings.warn(f"camera '{cam_type}' unsupported; using perspective")
+            camera = make_perspective_camera(
+                np.asarray(cam_to_world), 90.0, width, height
+            )
+
+    return ParsedScene(
+        builder=b, camera=camera, width=width, height=height,
+        integrator_name=integ_name, integrator_params=integ_params,
+        sampler_name=samp_name, sampler_params=samp_params,
+        filter_name=filt_name, filename=filename,
+    )
+
+
+def parse_file(path) -> ParsedScene:
+    """ParseFile (reference parser.cpp:45-66)."""
+    p = Path(path)
+    return parse_string(p.read_text(), include_dir=p.parent)

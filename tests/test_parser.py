@@ -1,0 +1,101 @@
+"""Parser tests: .pbrt subset -> Scene, and the CLI end-to-end."""
+
+import numpy as np
+
+from bre_tpu.scene.parser import parse_string, tokenize
+
+FOG_SCENE = """
+# config-1-like scene
+Integrator "photonbeam" "integer iterations" [ 2 ]
+    "integer photonsperiteration" [ 200 ] "float initialbeamradius" [ 0.3 ]
+Sampler "halton" "integer pixelsamples" 8
+Film "image" "integer xresolution" [ 16 ] "integer yresolution" [ 16 ]
+    "string filename" "out.pfm"
+LookAt 0 0 -3.5   0 0 0   0 1 0
+Camera "perspective" "float fov" 45
+
+WorldBegin
+MakeNamedMedium "fog" "string type" "homogeneous"
+    "rgb sigma_a" [ .05 .05 .05 ] "rgb sigma_s" [ .4 .4 .4 ] "float g" 0.0
+AttributeBegin
+  MediumInterface "fog" ""
+  Material "none"
+  Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ]
+      "point P" [ -1 -1 1   1 -1 1   1 1 1   -1 1 1 ]
+AttributeEnd
+AttributeBegin
+  MediumInterface "" "fog"
+  LightSource "point" "rgb I" [ 1 1 1 ]
+AttributeEnd
+AttributeBegin
+  Translate 0 0 5
+  Material "matte" "rgb Kd" [ .6 .5 .4 ]
+  Shape "sphere" "float radius" 0.7
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_tokenize_strings_and_comments():
+    toks = tokenize('Shape "sphere" "float radius" [ 1.5 ] # comment\nTranslate 1 2 3')
+    assert toks == ['Shape', '"sphere"', '"float radius"', '[', '1.5', ']',
+                    'Translate', '1', '2', '3']
+
+
+def test_parse_fog_scene():
+    ps = parse_string(FOG_SCENE)
+    assert ps.integrator_name == "photonbeam"
+    assert ps.integrator_params["iterations"] == 2
+    assert ps.width == 16 and ps.height == 16
+    assert ps.filename == "out.pfm"
+    s = ps.build()
+    assert s.n_triangles == 2
+    assert s.n_spheres == 1
+    assert s.n_lights == 1
+    assert s.n_media == 1
+    np.testing.assert_allclose(np.asarray(s.media.sigma_s[0]), 0.4, atol=1e-6)
+    # triangles are boundary-only with fog inside
+    assert int(s.triangles.material[0]) == -1
+    assert int(s.triangles.medium_inside[0]) == 0
+    # the point light sits in the fog
+    assert int(s.lights.medium[0]) == 0
+    # sphere translated to z=5 with matte material
+    np.testing.assert_allclose(np.asarray(s.spheres.center[0]), [0, 0, 5], atol=1e-5)
+    assert int(s.spheres.material[0]) >= 0
+    assert ps.camera is not None
+
+
+def test_parse_area_light_and_attrib_stack():
+    txt = """
+    Film "image" "integer xresolution" 8 "integer yresolution" 8
+    LookAt 0 0 -2  0 0 0  0 1 0
+    Camera "perspective" "float fov" 60
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "diffuse" "rgb L" [ 2 2 2 ]
+      Shape "sphere" "float radius" 0.5
+    AttributeEnd
+    Shape "sphere" "float radius" 1.0
+    WorldEnd
+    """
+    ps = parse_string(txt)
+    s = ps.build()
+    assert s.n_lights == 1  # area light didn't leak past AttributeEnd
+    assert s.n_spheres == 2
+    assert int(s.spheres.area_light[0]) == 0
+    assert int(s.spheres.area_light[1]) == -1
+
+
+def test_cli_end_to_end(tmp_path):
+    from bre_tpu.cli import main
+
+    scene_file = tmp_path / "fog.pbrt"
+    scene_file.write_text(FOG_SCENE)
+    out = tmp_path / "render.pfm"
+    rc = main([str(scene_file), "--outfile", str(out), "--quiet"])
+    assert rc == 0
+    from bre_tpu.io.image import read_pfm
+
+    img = read_pfm(out)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all() and img.max() > 0
