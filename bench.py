@@ -39,13 +39,16 @@ def main() -> None:
     cam = make_perspective_camera(
         tfm.look_at((0, 0, -3.5), (0, 0, 0), (0, 1, 0)), 45.0, wh, wh
     )
-    # chunk sizing: the gather backward holds ~16 live (rays x chunk x 3) f32
-    # buffers; 16384 rays x 512 chunk keeps peak under ~2 GB of HBM.
+    # Pallas fused forward kernel; geometry grads stop-gradded (medium
+    # parameter fitting path).  chunk sizing: the XLA recompute backward
+    # holds ~16 live (rays x chunk x 3) f32 buffers; 512 keeps peak ~2 GB.
     cfg = PhotonBeamConfig(
         maxdepth=max_depth,
         photonsperiteration=photons,
         initialbeamradius=0.2,
+        gather="pallas",
         gather_chunk=512,
+        grad_geometry=False,
     )
     distr = light_power_distribution(scene)
 

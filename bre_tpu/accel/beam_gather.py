@@ -148,21 +148,25 @@ def _interp_power(power_start, power_end, frac):
 
 
 def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
-                   min_sin_theta: float) -> jnp.ndarray:
+                   min_sin_theta: float, grad_geometry: bool = True) -> jnp.ndarray:
     """(R,3) contribution of one beam chunk to all R segments.
 
     cb: chunk beam arrays (C,...) incl. float validity mask; seg: per-ray
     arrays + precomputed medium factors.  Pure float->float (custom-VJP safe).
+    ``grad_geometry=False`` stop-grads the closest-point geometry (kernel
+    positions) — the standard reparameterization-free treatment for medium
+    parameter optimization; power/transmittance/phase gradients stay exact.
     """
-    c_start = cb["start"][None, :, :]  # (1,C,3)
-    c_end = cb["end"][None, :, :]
+    sg = (lambda x: x) if grad_geometry else jax.lax.stop_gradient
+    c_start = sg(cb["start"])[None, :, :]  # (1,C,3)
+    c_end = sg(cb["end"])[None, :, :]
     c_ps = cb["power_start"][None, :, :]
     c_pe = cb["power_end"][None, :, :]
     c_rad = cb["radius"][None, :]
     c_valid = cb["valid_f"][None, :]  # float 0/1
 
-    a0 = seg["a0"][:, None, :]  # (R,1,3)
-    a1 = seg["a1"][:, None, :]
+    a0 = sg(seg["a0"])[:, None, :]  # (R,1,3)
+    a1 = sg(seg["a1"])[:, None, :]
     if kernel == KERNEL_COMPAT:
         pa, pb, cp_valid = closest_points_segments(a0, a1, c_start, c_end)
     else:
@@ -216,12 +220,12 @@ def _gather_core(cfg, pb: dict, seg: dict) -> jnp.ndarray:
 
 
 def _gather_forward(cfg, pb, seg):
-    kernel, chunk, n_chunks, power_scale, min_sin = cfg
+    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom = cfg
     R = seg["a0"].shape[0]
 
     def body(acc, ci):
         cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) for k, v in pb.items()}
-        return acc + _chunk_contrib(cb, seg, kernel, power_scale, min_sin), None
+        return acc + _chunk_contrib(cb, seg, kernel, power_scale, min_sin, grad_geom), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((R, 3)), jnp.arange(n_chunks))
     return acc
@@ -234,7 +238,7 @@ def _gather_fwd(cfg, pb, seg):
 def _gather_bwd(cfg, res, ct):
     """Chunked backward: re-run each chunk's forward under jax.vjp — one
     chunk's pairwise intermediates live at a time."""
-    kernel, chunk, n_chunks, power_scale, min_sin = cfg
+    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom = cfg
     pb, seg = res
 
     ct_pb0 = jax.tree.map(jnp.zeros_like, pb)
@@ -244,7 +248,7 @@ def _gather_bwd(cfg, res, ct):
         ct_pb, ct_seg = carry
         cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) for k, v in pb.items()}
         _, vjp_fn = jax.vjp(
-            lambda cb_, seg_: _chunk_contrib(cb_, seg_, kernel, power_scale, min_sin),
+            lambda cb_, seg_: _chunk_contrib(cb_, seg_, kernel, power_scale, min_sin, grad_geom),
             cb,
             seg,
         )
@@ -266,6 +270,46 @@ def _gather_bwd(cfg, res, ct):
 _gather_core.defvjp(_gather_fwd, _gather_bwd)
 
 
+# --- Pallas-forward variant: fused VPU kernel for the primal, same chunked
+# XLA recompute for the backward (bre_tpu/ops/pallas_gather.py) ---
+
+def _pallas_forward(cfg, pb, seg):
+    from ..ops.pallas_gather import pack_beams, pack_rays, pallas_gather_forward
+
+    kernel, chunk, n_chunks, power_scale, min_sin, _grad_geom = cfg
+    R = seg["a0"].shape[0]
+    tile = 128
+    R_pad = ((R + tile - 1) // tile) * tile
+    if R_pad != R:
+        seg = {
+            k: (v if k == "cam_radius" else jnp.concatenate(
+                [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0))
+            for k, v in seg.items()
+        }
+    rays_packed = pack_rays(seg, tile)
+    beams_packed = pack_beams(pb, chunk)
+    scalars = jnp.stack(
+        [jnp.asarray(seg["cam_radius"], jnp.float32),
+         jnp.float32(power_scale), jnp.float32(min_sin)]
+    ).reshape(1, 3)
+    out = pallas_gather_forward(rays_packed, beams_packed, scalars, tile, chunk)
+    # (n_tiles, 8, T) -> (R, 3)
+    res = out[:, :3, :].transpose(0, 2, 1).reshape(R_pad, 3)
+    return res[:R]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_core_pallas(cfg, pb: dict, seg: dict) -> jnp.ndarray:
+    return _pallas_forward(cfg, pb, seg)
+
+
+def _gather_fwd_pallas(cfg, pb, seg):
+    return _pallas_forward(cfg, pb, seg), (pb, seg)
+
+
+_gather_core_pallas.defvjp(_gather_fwd_pallas, _gather_bwd)
+
+
 def gather_beams_bruteforce(
     beams,
     media: Media,
@@ -279,8 +323,13 @@ def gather_beams_bruteforce(
     chunk: int = 2048,
     power_scale: float = 1.0,
     min_sin_theta: float = 0.05,
+    backend: str = "xla",
+    grad_geometry: bool = True,
 ) -> jnp.ndarray:
     """Accumulate beam radiance onto R camera segments. Returns (R,3).
+
+    ``backend="pallas"`` runs the fused Pallas TPU kernel for the forward
+    pass (KERNEL_BRE only); the backward is the same chunked recompute.
 
     ``seg_tr_full`` lets camera transmittance at the closest point be
     exponential-interpolated (exact homogeneous) without per-pair tracking.
@@ -321,5 +370,174 @@ def gather_beams_bruteforce(
         in_med_f=seg_in_med.astype(jnp.float32),
         cam_radius=jnp.broadcast_to(jnp.asarray(cam_radius, jnp.float32), ()),
     )
-    cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale), float(min_sin_theta))
+    cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale),
+           float(min_sin_theta), bool(grad_geometry))
+    if backend == "pallas" and kernel == KERNEL_BRE:
+        return _gather_core_pallas(cfg, pb, seg)
     return _gather_core(cfg, pb, seg)
+
+
+# ---------------------------------------------------------------------------
+# LBVH-culled tile gather
+# ---------------------------------------------------------------------------
+
+def _seg_slice(seg: dict, ti, tile: int) -> dict:
+    out = {}
+    for k, v in seg.items():
+        if k == "cam_radius":
+            out[k] = v
+        else:
+            out[k] = jax.lax.dynamic_slice_in_dim(v, ti * tile, tile, 0)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_tiles_core(cfg, pb: dict, seg: dict, cand: jnp.ndarray):
+    """cfg = (kernel, tile, n_tiles, K, power_scale, min_sin_theta).
+
+    pb: beam float arrays (B,...); seg: per-ray arrays (R=n_tiles*tile,...);
+    cand: (n_tiles, K) int32 candidate beam ids (-1 padded, stop-gradient
+    structure).  Per tile, gathers its candidates and runs the dense
+    tile x K contribution.
+    """
+    return _gather_tiles_forward(cfg, pb, seg, cand)
+
+
+def _tile_cb(pb: dict, cand_t: jnp.ndarray) -> dict:
+    idx = jnp.maximum(cand_t, 0)
+    cb = {k: v[idx] for k, v in pb.items()}
+    cb["valid_f"] = cb["valid_f"] * (cand_t >= 0).astype(jnp.float32)
+    return cb
+
+
+def _gather_tiles_forward(cfg, pb, seg, cand):
+    kernel, tile, n_tiles, K, power_scale, min_sin = cfg
+
+    def body(_, ti):
+        cb = _tile_cb(pb, cand[ti])
+        out = _chunk_contrib(cb, _seg_slice(seg, ti, tile), kernel, power_scale, min_sin)
+        return None, out  # tile path keeps full geometry grads
+
+    _, outs = jax.lax.scan(body, None, jnp.arange(n_tiles))
+    return outs.reshape(n_tiles * tile, 3)
+
+
+def _gather_tiles_fwd(cfg, pb, seg, cand):
+    return _gather_tiles_forward(cfg, pb, seg, cand), (pb, seg, cand)
+
+
+def _gather_tiles_bwd(cfg, res, ct):
+    """Per-tile recompute-and-VJP: one tile's pairwise intermediates live at
+    a time; beam cotangents scatter-add back through the candidate gather."""
+    import numpy as np
+
+    kernel, tile, n_tiles, K, power_scale, min_sin = cfg
+    pb, seg, cand = res
+    ct = ct.reshape(n_tiles, tile, 3)
+
+    ct_pb0 = jax.tree.map(jnp.zeros_like, pb)
+    ct_seg0 = {k: jnp.zeros_like(v) for k, v in seg.items()}
+
+    def body(carry, ti):
+        ct_pb, ct_seg = carry
+        cand_t = cand[ti]
+        seg_t = _seg_slice(seg, ti, tile)
+
+        def f(pb_, seg_t_):
+            cb = _tile_cb(pb_, cand_t)
+            return _chunk_contrib(cb, seg_t_, kernel, power_scale, min_sin)
+
+        _, vjp_fn = jax.vjp(f, pb, seg_t)
+        d_pb, d_seg_t = vjp_fn(ct[ti])
+        ct_pb = jax.tree.map(jnp.add, ct_pb, d_pb)
+        for k in ct_seg:
+            if k == "cam_radius":
+                ct_seg[k] = ct_seg[k] + d_seg_t[k]
+            else:
+                ct_seg = dict(ct_seg)
+                ct_seg[k] = jax.lax.dynamic_update_slice_in_dim(
+                    ct_seg[k],
+                    jax.lax.dynamic_slice_in_dim(ct_seg[k], ti * tile, tile, 0)
+                    + d_seg_t[k],
+                    ti * tile, 0,
+                )
+        return (ct_pb, ct_seg), None
+
+    (ct_pb, ct_seg), _ = jax.lax.scan(body, (ct_pb0, ct_seg0), jnp.arange(n_tiles))
+    ct_cand = np.zeros(cand.shape, jax.dtypes.float0)
+    return ct_pb, ct_seg, ct_cand
+
+
+_gather_tiles_core.defvjp(_gather_tiles_fwd, _gather_tiles_bwd)
+
+
+def gather_beams_lbvh(
+    beams,
+    bvh,
+    tile_cand: jnp.ndarray,  # (n_tiles, K) candidate beam ids from the LBVH
+    media: Media,
+    seg_a0: jnp.ndarray,
+    seg_a1: jnp.ndarray,
+    seg_dir: jnp.ndarray,
+    seg_medium: jnp.ndarray,
+    seg_tr_full: jnp.ndarray,
+    cam_radius,
+    kernel: int = KERNEL_BRE,
+    tile: int = 128,
+    power_scale: float = 1.0,
+    min_sin_theta: float = 0.05,
+) -> jnp.ndarray:
+    """LBVH-accelerated gather: per ray tile, evaluate only the beams whose
+    inflated AABBs overlap the tile's segment bounds (candidates precomputed
+    by the caller via accel.lbvh.query_aabb_collect).
+
+    Replaces the reference's per-ray BVH traversal returning a beam vector
+    (photonbeambvh.cpp:685-723) with one traversal per *tile* + dense masked
+    VPU math over the candidate set — the TPU-shaped version of the same
+    culling.  R must be a multiple of ``tile`` (caller pads).
+    """
+    R = seg_a0.shape[0]
+    n_tiles, K = tile_cand.shape
+    assert R == n_tiles * tile, (R, n_tiles, tile)
+    pb = dict(
+        start=beams.start,
+        end=beams.end,
+        power_start=beams.power_start,
+        power_end=beams.power_end,
+        radius=beams.radius,
+        valid_f=beams.valid.astype(jnp.float32),
+    )
+    sigma_a_seg, sigma_s_seg, g_seg, _, seg_in_med = gather_medium(media, seg_medium)
+    seg = dict(
+        a0=seg_a0,
+        a1=seg_a1,
+        dir=seg_dir,
+        len=jnp.maximum(length(seg_a1 - seg_a0), 1e-30),
+        tr_full=seg_tr_full,
+        sigma_s=sigma_s_seg,
+        g=g_seg,
+        in_med_f=seg_in_med.astype(jnp.float32),
+        cam_radius=jnp.broadcast_to(jnp.asarray(cam_radius, jnp.float32), ()),
+    )
+    cfg = (int(kernel), int(tile), int(n_tiles), int(K),
+           float(power_scale), float(min_sin_theta))
+    return _gather_tiles_core(cfg, pb, seg, jax.lax.stop_gradient(tile_cand))
+
+
+def beam_aabbs(beams, extra_radius):
+    """Conservative radius-inflated beam AABBs (photonbeambvh.h:48-73), with
+    the camera blur radius folded in so tile queries need no inflation."""
+    r = (beams.radius + extra_radius)[:, None]
+    bmin = jnp.minimum(beams.start, beams.end) - r
+    bmax = jnp.maximum(beams.start, beams.end) + r
+    return bmin, bmax
+
+
+def tile_aabbs(seg_a0, seg_a1, tile: int):
+    """Per-tile bounds over the camera segments (R multiple of tile)."""
+    n_tiles = seg_a0.shape[0] // tile
+    a0 = seg_a0.reshape(n_tiles, tile, 3)
+    a1 = seg_a1.reshape(n_tiles, tile, 3)
+    tmin = jnp.minimum(a0.min(1), a1.min(1))
+    tmax = jnp.maximum(a0.max(1), a1.max(1))
+    return tmin, tmax

@@ -110,6 +110,9 @@ def make_distribution_1d(func: jnp.ndarray) -> Distribution1D:
 
 def sample_discrete(dist: Distribution1D, u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SampleDiscrete (sampling.h:95-109): returns (index, pdf)."""
+    if dist.count == 0:  # static: empty distribution (e.g. light-less scene)
+        z = jnp.zeros(jnp.shape(u), jnp.int32)
+        return z, jnp.zeros(jnp.shape(u))
     # FindInterval: largest i with cdf[i] <= u  ->  searchsorted(side='right')-1
     idx = jnp.clip(
         jnp.searchsorted(dist.cdf, u, side="right") - 1, 0, dist.count - 1

@@ -29,7 +29,15 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..accel.beam_gather import KERNEL_BRE, KERNEL_COMPAT, gather_beams_bruteforce
+from ..accel.beam_gather import (
+    KERNEL_BRE,
+    KERNEL_COMPAT,
+    beam_aabbs,
+    gather_beams_bruteforce,
+    gather_beams_lbvh,
+    tile_aabbs,
+)
+from ..accel.lbvh import build_lbvh, query_aabb_collect
 from ..core.math import absdot, dot, offset_ray_origin
 from ..core.rng import pcg32_init, pcg32_next_f32
 from ..core.spectrum import luminance
@@ -58,6 +66,13 @@ class PhotonBeamConfig:
     rendermedia: bool = True
     kernel: str = "bre"  # "bre" | "compat"
     gather_chunk: int = 2048
+    # gather backend: "brute" = dense rays x all-beams chunks; "lbvh" = one
+    # LBVH traversal per ray tile collecting candidates, then dense tile x
+    # candidate math (the reference's PhotonBeamBVH culling, TPU-shaped)
+    gather: str = "brute"  # "brute" | "lbvh" | "pallas"
+    tile: int = 128
+    max_candidates: int = 4096
+    grad_geometry: bool = True  # False: cheaper bwd for medium-param fitting
 
 
 def camera_pass(
@@ -99,6 +114,10 @@ def camera_pass_by_pixels(
     """
     R = p_raster_base.shape[0]
     kern = KERNEL_COMPAT if cfg.kernel == "compat" else KERNEL_BRE
+    use_lbvh = cfg.gather == "lbvh" and cfg.rendermedia
+    if use_lbvh:
+        bmin, bmax = beam_aabbs(beams, beam_radius)
+        bvh = build_lbvh(bmin, bmax, beams.valid)
     rng = pcg32_init(stream_ids)
 
     # camera ray with per-iteration jitter (reference: sampler-driven
@@ -142,19 +161,41 @@ def camera_pass_by_pixels(
 
         if cfg.rendermedia:
             seg_valid = alive & h.valid
-            gathered = gather_beams_bruteforce(
-                beams,
-                scene.media,
-                o,
-                p_seg_end,
-                d,
-                medium,
-                tr_seg,
-                beam_radius,
-                kernel=kern,
-                chunk=cfg.gather_chunk,
-                power_scale=1.0 / float(photons_per_iter),
-            )
+            if use_lbvh:
+                # pad segments to a tile multiple with dead segments
+                tile = cfg.tile
+                R_pad = ((R + tile - 1) // tile) * tile
+                pad = lambda x: jnp.concatenate(
+                    [x, jnp.zeros((R_pad - R,) + x.shape[1:], x.dtype)], 0
+                ) if R_pad != R else x
+                o_p, e_p, d_p = pad(o), pad(p_seg_end), pad(d)
+                med_p = pad(medium)
+                tr_p = pad(tr_seg)
+                tmin, tmax = tile_aabbs(o_p, e_p, tile)
+                cand, counts, ovf = query_aabb_collect(
+                    bvh, tmin, tmax, cfg.max_candidates
+                )
+                gathered = gather_beams_lbvh(
+                    beams, bvh, cand, scene.media, o_p, e_p, d_p, med_p, tr_p,
+                    beam_radius, kernel=kern, tile=tile,
+                    power_scale=1.0 / float(photons_per_iter),
+                )[:R]
+            else:
+                gathered = gather_beams_bruteforce(
+                    beams,
+                    scene.media,
+                    o,
+                    p_seg_end,
+                    d,
+                    medium,
+                    tr_seg,
+                    beam_radius,
+                    kernel=kern,
+                    chunk=cfg.gather_chunk,
+                    power_scale=1.0 / float(photons_per_iter),
+                    backend="pallas" if cfg.gather == "pallas" else "xla",
+                    grad_geometry=cfg.grad_geometry,
+                )
             if kern == KERNEL_COMPAT:
                 # reference adds raw kernel sum, no camera throughput
                 # (photonbeam.cpp:504)

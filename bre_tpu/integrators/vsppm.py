@@ -393,7 +393,8 @@ def _splat_gather(vps: VisiblePoints, radii: jnp.ndarray, photons: PhotonInterac
         # camera NEE (the reference double counts; see VSPPMConfig.kernel)
         pvalid = pvalid & ((pkind != VP_MEDIUM) | (pdepth > 0))
 
-    # each VP gathers from the 8 cells its radius ball overlaps
+    # each VP gathers from the up-to-27 cells its radius ball overlaps
+    # (a ball of radius r spans 3 cells per axis when cell == max radius)
     base = jnp.floor((vps.p - gmin - radii[:, None]) / cell).astype(jnp.int32)
     Phi = jnp.zeros((R, 3))
     M = jnp.zeros((R,), jnp.int32)
@@ -401,9 +402,9 @@ def _splat_gather(vps: VisiblePoints, radii: jnp.ndarray, photons: PhotonInterac
 
     f_med = lambda wi: hg_p(vps.wo, wi, vps.g)[:, None] * jnp.ones((1, 3))
 
-    for ox in range(2):
-        for oy in range(2):
-            for oz in range(2):
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
                 c = jnp.clip(base + jnp.array([ox, oy, oz]), 0, 1023)
                 key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
                 lo = jnp.searchsorted(pkey_s, key, side="left")

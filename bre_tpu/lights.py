@@ -149,6 +149,10 @@ def sample_le(
     """
     L = scene.lights
     R = light_idx.shape[0]
+    if scene.n_lights == 0:  # static: no lights -> zero emission
+        z3 = jnp.zeros((R, 3))
+        return LeSample(o=z3, d=z3, n_light=z3, Le=z3, pdf_pos=jnp.zeros((R,)),
+                        pdf_dir=jnp.zeros((R,)), medium=jnp.full((R,), -1, jnp.int32))
     li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
     ltype = L.ltype[li]
     pos = L.position[li]
@@ -242,6 +246,10 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
     """
     L = scene.lights
     R = light_idx.shape[0]
+    if scene.n_lights == 0:  # static: no lights
+        z3 = jnp.zeros((R, 3))
+        return LiSample(wi=z3, Li=z3, pdf=jnp.zeros((R,)), dist=jnp.zeros((R,)),
+                        p_light=z3)
     li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
     ltype = L.ltype[li]
     pos = L.position[li]
@@ -328,6 +336,8 @@ def escaped_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
 def area_light_emitted(scene: Scene, area_light_idx, n, wo) -> jnp.ndarray:
     """L emitted toward wo from a hit on an area light
     (SurfaceInteraction::Le -> DiffuseAreaLight::L, diffuse.cpp:50-56)."""
+    if scene.n_lights == 0:  # static: no lights
+        return jnp.zeros(area_light_idx.shape + (3,))
     has = area_light_idx >= 0
     li = jnp.clip(area_light_idx, 0, max(scene.n_lights - 1, 0))
     emit = scene.lights.emit[li]

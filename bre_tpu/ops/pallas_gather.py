@@ -1,0 +1,195 @@
+"""Pallas TPU kernel for the dense beam-radiance gather (forward).
+
+The hot op of the flagship integrator (SURVEY section 2a: "Pallas ray-gather
+kernel ... one traversal per camera ray"): for a tile of camera segments and
+a chunk of photon beams, compute the physically normalized 1D-1D BRE
+contribution of every (segment, beam) pair and accumulate per segment.
+
+Layout strategy (TPU tiling: f32 (8,128) sublane x lane):
+- rays ride the LANE axis: per-ray scalars are (1, T) rows, T = 128·k;
+- beams ride the SUBLANE axis: per-beam scalars are (C, 1) columns, C = 8·k;
+- all pairwise intermediates are (C, T) tiles — pure VPU elementwise math,
+  fully resident in VMEM, no HBM intermediates (the XLA version materializes
+  (R, C, 3) tensors between fusions).
+
+Grid: (n_ray_tiles, n_beam_chunks); the output block is indexed by ray tile
+only and accumulated across the beam-chunk grid dimension (init at j == 0).
+
+The backward pass reuses the XLA custom-VJP recompute path
+(bre_tpu/accel/beam_gather._gather_bwd) — a Pallas backward kernel is the
+next optimization step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ray feature rows (NF x T blocks)
+RF_A0 = 0  # a0.x a0.y a0.z rows 0..2
+RF_A1 = 3
+RF_DIR = 6
+RF_LEN = 9
+RF_TR = 10  # tr_full rgb rows 10..12
+RF_SIGS = 13  # sigma_s rgb rows 13..15
+RF_G = 16
+RF_INMED = 17
+NF = 18
+
+# beam feature columns (C x NB blocks)
+BF_B0 = 0
+BF_B1 = 3
+BF_PS = 6
+BF_PE = 9
+BF_RAD = 12
+BF_VALID = 13
+NB = 16  # padded
+
+
+def _interp_power_k(ps, pe, frac):
+    """Exponential endpoint interpolation, where-isolated (see beam_gather)."""
+    ok = ps > 1e-20
+    ps_s = jnp.where(ok, ps, 1.0)
+    pe_s = jnp.where(ok, jnp.maximum(pe, 1e-12 * ps_s), 1.0)
+    return jnp.where(ok, ps_s * jnp.exp(frac * jnp.log(pe_s / ps_s)), 0.0)
+
+
+def _gather_kernel(scalars_ref, rays_ref, beams_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    cam_radius = scalars_ref[0, 0]
+    power_scale = scalars_ref[0, 1]
+    min_sin = scalars_ref[0, 2]
+
+    r_row = lambda k: rays_ref[0, k : k + 1, :]  # (1,T)
+    b_col = lambda k: beams_ref[0, :, k : k + 1]  # (C,1)
+
+    # segment and beam vectors
+    a0 = [r_row(RF_A0 + c) for c in range(3)]
+    d1 = [r_row(RF_A1 + c) - a0[c] for c in range(3)]
+    b0 = [b_col(BF_B0 + c) for c in range(3)]
+    d2 = [b_col(BF_B1 + c) - b0[c] for c in range(3)]
+    rr = [a0[c] - b0[c] for c in range(3)]  # (C,T)
+
+    # Ericson 5.1.9 exact segment-segment closest points on (C,T) tiles
+    a = sum(d1[c] * d1[c] for c in range(3))  # (1,T)
+    e = sum(d2[c] * d2[c] for c in range(3))  # (C,1)
+    b = sum(d1[c] * d2[c] for c in range(3))  # (C,T)
+    c_ = sum(d1[c] * rr[c] for c in range(3))
+    f = sum(d2[c] * rr[c] for c in range(3))
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, (b * f - c_ * e) / jnp.where(denom > 1e-12, denom, 1.0), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(e > 1e-12, (b * s + f) / jnp.where(e > 1e-12, e, 1.0), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s_new = jnp.clip((t_cl * b - c_) / jnp.where(a > 1e-12, a, 1.0), 0.0, 1.0)
+    s = jnp.where((t != t_cl) & (a > 1e-12), s_new, s)
+
+    dist2 = jnp.zeros_like(b)
+    for c in range(3):
+        diff = (a0[c] + d1[c] * s) - (b0[c] + d2[c] * t_cl)
+        dist2 = dist2 + diff * diff
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+
+    width = cam_radius + b_col(BF_RAD)
+    r_n = dist / jnp.maximum(width, 1e-30)
+    in_range = ((r_n < 1.0).astype(jnp.float32)) * b_col(BF_VALID)
+
+    # beam direction / length; fraction along beam is t_cl directly
+    beam_len = jnp.sqrt(jnp.maximum(e, 1e-30))  # (C,1)
+    inv_beam_len = 1.0 / beam_len
+    # camera params
+    seg_len = r_row(RF_LEN)
+    # t_c along camera = s * |d1|; frac along camera = s (d1 spans the segment)
+    frac_c = jnp.clip(s, 0.0, 1.0)
+
+    cos_theta = sum(r_row(RF_DIR + c) * (d2[c] * inv_beam_len) for c in range(3))
+    gg = r_row(RF_G)
+    denom_hg = 1.0 + gg * gg + 2.0 * gg * cos_theta
+    rho = 0.07957747154594767 * (1.0 - gg * gg) / (
+        denom_hg * jnp.sqrt(jnp.maximum(denom_hg, 1e-12))
+    )
+    sin_theta = jnp.maximum(
+        jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12)), min_sin
+    )
+    k1 = 0.75 * (1.0 - r_n * r_n) / jnp.maximum(width, 1e-30)
+    w = power_scale * rho * k1 / sin_theta * in_range * r_row(RF_INMED)
+
+    for ch in range(3):
+        p_at = _interp_power_k(b_col(BF_PS + ch), b_col(BF_PE + ch), t_cl)
+        tr_full = jnp.maximum(r_row(RF_TR + ch), 1e-30)
+        tr_cam = jnp.exp(frac_c * jnp.log(tr_full))
+        contrib = w * p_at * tr_cam * r_row(RF_SIGS + ch)  # (C,T)
+        out_ref[0, ch : ch + 1, :] += jnp.sum(contrib, axis=0, keepdims=True)
+
+
+def pallas_gather_forward(
+    rays_packed: jnp.ndarray,  # (n_tiles, NF, T)
+    beams_packed: jnp.ndarray,  # (n_chunks, C, NB)
+    scalars: jnp.ndarray,  # (1, 3): cam_radius, power_scale, min_sin
+    tile: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """Returns (n_tiles, 8, T) with channels in rows 0..2.
+
+    Off-TPU (tests, CPU dev) the kernel runs in interpreter mode.
+    """
+    n_tiles = rays_packed.shape[0]
+    n_chunks = beams_packed.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        _gather_kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NF, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, NB), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, tile), jnp.float32),
+        interpret=interpret,
+    )(scalars, rays_packed, beams_packed)
+
+
+def pack_rays(seg: dict, tile: int) -> jnp.ndarray:
+    """seg dict (R-sized arrays) -> (n_tiles, NF, T) packed feature rows."""
+    R = seg["a0"].shape[0]
+    n_tiles = R // tile
+    rows = [
+        seg["a0"][:, 0], seg["a0"][:, 1], seg["a0"][:, 2],
+        seg["a1"][:, 0], seg["a1"][:, 1], seg["a1"][:, 2],
+        seg["dir"][:, 0], seg["dir"][:, 1], seg["dir"][:, 2],
+        seg["len"],
+        seg["tr_full"][:, 0], seg["tr_full"][:, 1], seg["tr_full"][:, 2],
+        seg["sigma_s"][:, 0], seg["sigma_s"][:, 1], seg["sigma_s"][:, 2],
+        seg["g"],
+        seg["in_med_f"],
+    ]
+    packed = jnp.stack(rows, 0)  # (NF, R)
+    return packed.reshape(NF, n_tiles, tile).transpose(1, 0, 2)
+
+
+def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
+    """padded beam dict (Bp-sized arrays) -> (n_chunks, C, NB) feature cols."""
+    Bp = pb["radius"].shape[0]
+    n_chunks = Bp // chunk
+    cols = [
+        pb["start"][:, 0], pb["start"][:, 1], pb["start"][:, 2],
+        pb["end"][:, 0], pb["end"][:, 1], pb["end"][:, 2],
+        pb["power_start"][:, 0], pb["power_start"][:, 1], pb["power_start"][:, 2],
+        pb["power_end"][:, 0], pb["power_end"][:, 1], pb["power_end"][:, 2],
+        pb["radius"],
+        pb["valid_f"],
+        jnp.zeros_like(pb["radius"]),
+        jnp.zeros_like(pb["radius"]),
+    ]
+    packed = jnp.stack(cols, 1)  # (Bp, NB)
+    return packed.reshape(n_chunks, chunk, NB)

@@ -22,6 +22,7 @@ CFG = PhotonBeamConfig(
 )
 
 
+@pytest.mark.slow
 def test_recover_sigma_s():
     true_ss = 0.5
     scene_true = fog_cube_scene(sigma_a=0.1, sigma_s=true_ss).build()

@@ -2,6 +2,7 @@
 reference shipped no PhotonBeamBVH tests)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ def _brute_overlaps(amin, amax, qmin, qmax):
     return np.all(qmax[None, :] >= amin, -1) & np.all(qmin[None, :] <= amax, -1)
 
 
+@pytest.mark.slow
 def test_lbvh_query_matches_bruteforce():
     n = 777
     amin, amax = _random_boxes(n)

@@ -36,6 +36,7 @@ def _setup():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_iteration_matches_single_device():
     scene, cam = _setup()
     distr = light_power_distribution(scene)
@@ -49,6 +50,7 @@ def test_sharded_iteration_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_train_step_gradients():
     scene, cam = _setup()
     step = make_inverse_train_step(scene, cam, WH, WH, CFG, make_mesh(8))

@@ -1,6 +1,7 @@
 """vsppm integrator tests: runs, converges toward the volpath oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from bre_tpu.core import transform as tfm
@@ -12,6 +13,7 @@ from bre_tpu.scene.camera import make_perspective_camera
 from test_photonbeam import fog_cube_scene
 
 
+@pytest.mark.slow
 def test_vsppm_medium_runs_and_matches_volpath():
     s = fog_cube_scene(sigma_a=0.05, sigma_s=0.4, g=0.0, intensity=1.0).build()
     wh = 16
@@ -30,6 +32,7 @@ def test_vsppm_medium_runs_and_matches_volpath():
     assert 0.6 < ratio < 1.6, f"vsppm {img.mean()} vs volpath {truth.mean()}"
 
 
+@pytest.mark.slow
 def test_vsppm_surface_only_cornellish():
     """Surface SPPM mode on a box with a matte floor and a point light."""
     b = SceneBuilder()
