@@ -310,12 +310,16 @@ def render_photonbeam(
     height: int,
     cfg: PhotonBeamConfig = PhotonBeamConfig(),
     write_callback: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
 ):
     """Full progressive render (photonbeam.cpp:328-587).
 
     Returns (image (H,W,3), stats dict).  ``write_callback(iter, image)`` is
     invoked every ``imagewritefrequency`` iterations and at the end
-    (photonbeam.cpp:565-584).
+    (photonbeam.cpp:565-584).  With ``checkpoint_path``, progressive state
+    (iter, radius, Ld) is saved at every write point and restored on start —
+    the explicit form of the reference's startiteration + radius fast-forward
+    resume (photonbeam.cpp:354-357).
     """
     n_pixels = width * height
     photons = cfg.photonsperiteration if cfg.photonsperiteration > 0 else n_pixels
@@ -324,8 +328,19 @@ def render_photonbeam(
 
     # radius fast-forward for startiteration (photonbeam.cpp:354-357)
     radius = float(cfg.initialbeamradius)
-    for i in range(cfg.startiteration):
+    start_iter = cfg.startiteration
+    for i in range(start_iter):
         radius = radius * (i + cfg.alpha) / (i + 1)
+
+    Ld_resume = None
+    if checkpoint_path is not None:
+        from ..checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None and ck["iteration"] > start_iter:
+            start_iter = ck["iteration"]
+            radius = ck["radius"]
+            Ld_resume = jnp.asarray(ck["buffers"]["Ld"])
 
     @jax.jit
     def one_iteration(iter_idx, radius):
@@ -338,20 +353,27 @@ def render_photonbeam(
         )
         return Ld, {**tstats, **cstats}
 
-    Ld_total = jnp.zeros((n_pixels, 3))
+    Ld_total = Ld_resume if Ld_resume is not None else jnp.zeros((n_pixels, 3))
     stats_total: dict = {}
-    for it in range(cfg.startiteration, end_iter):
+    for it in range(start_iter, end_iter):
         Ld, stats = one_iteration(jnp.uint32(it), jnp.float32(radius))
         Ld_total = Ld_total + Ld
         for k, v in stats.items():
             stats_total[k] = stats_total.get(k, 0) + int(v)
         radius = radius * (it + cfg.alpha) / (it + 1)  # photonbeam.cpp:562
-        if write_callback is not None and (
-            (it + 1) == end_iter or (it + 1) % cfg.imagewritefrequency == 0
-        ):
-            img = (Ld_total / (it + 1)).reshape(height, width, 3)
-            write_callback(it, jax.device_get(img))
-    n_iter = max(end_iter - cfg.startiteration, 1)
+        at_write = (it + 1) == end_iter or (it + 1) % cfg.imagewritefrequency == 0
+        if at_write:
+            if write_callback is not None:
+                img = (Ld_total / (it + 1)).reshape(height, width, 3)
+                write_callback(it, jax.device_get(img))
+            if checkpoint_path is not None:
+                from ..checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, it + 1, radius,
+                                {"Ld": jax.device_get(Ld_total)})
+    # resumed Ld carries iterations [0, end); fresh runs carry
+    # [startiteration, end)
+    n_iter = max(end_iter - (cfg.startiteration if Ld_resume is None else 0), 1)
     image = (Ld_total / n_iter).reshape(height, width, 3)
     stats_total["final_radius"] = radius
     return image, stats_total

@@ -17,6 +17,7 @@ as truth).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,9 @@ class VolPathConfig:
     # lighting via NEE at every hit — reference src/integrators/whitted.cpp
     # and directlighting.cpp)
     indirect: str = "full"
+    # film-plane pixel sampler (reference src/samplers/): random | stratified
+    # | 02sequence | sobol | maxmindist | halton
+    sampler: str = "random"
 
 
 def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
@@ -198,17 +202,18 @@ def render_volpath(
     R = width * height
     pix = pixel_centers(width, height)
 
-    @jax.jit
-    def one_pass(sample_idx):
+    from ..core.samplers import camera_jitter
+
+    @partial(jax.jit, static_argnums=(1,))
+    def one_pass(sample_idx, sample_i):
         pix_idx = jnp.arange(R, dtype=jnp.uint32)
         rng = pcg32_init(jnp.uint32(sample_idx) * jnp.uint32(R) + pix_idx + jnp.uint32(0x9E37))
-        rng, jx = pcg32_next_f32(rng)
-        rng, jy = pcg32_next_f32(rng)
-        o, d = generate_rays(camera, pix + jnp.stack([jx, jy], -1) - 0.5)
+        rng, j2 = camera_jitter(cfg.sampler, pix_idx, sample_i, cfg.spp, rng)
+        o, d = generate_rays(camera, pix + j2 - 0.5)
         _, L = _li_batch(scene, o, d, rng, cfg)
         return L
 
     acc = jnp.zeros((R, 3))
     for s in range(cfg.spp):
-        acc = acc + one_pass(jnp.uint32(s))
+        acc = acc + one_pass(jnp.uint32(s), s)
     return (acc / cfg.spp).reshape(height, width, 3)

@@ -32,10 +32,19 @@ from .scene.scene import (
     LIGHT_DISTANT,
     LIGHT_INFINITE,
     LIGHT_POINT,
+    LIGHT_SPOT,
     SHAPE_SPHERE,
     SHAPE_TRIANGLE,
     Scene,
 )
+
+
+def _spot_falloff(cos_theta, cos_falloff, cos_total):
+    """SpotLight::Falloff (spot.cpp:75-84): smooth quartic between cones."""
+    t = (cos_theta - cos_total) / jnp.maximum(cos_falloff - cos_total, 1e-6)
+    t = jnp.clip(t, 0.0, 1.0)
+    return jnp.where(cos_theta < cos_total, 0.0,
+                     jnp.where(cos_theta > cos_falloff, 1.0, t ** 4))
 
 
 def _frame_from_z(z):
@@ -71,6 +80,7 @@ def light_power(scene: Scene) -> jnp.ndarray:
 
     sides = jnp.where(L.two_sided > 0, 2.0, 1.0)
     p_point = 4.0 * PI * L.emit
+    p_spot = (2.0 * PI * (1.0 - 0.5 * (L.cos_falloff_start + L.cos_total_width)))[:, None] * L.emit
     p_area = (sides * area * PI)[:, None] * L.emit
     p_dist = (PI * world_r2) * L.emit
     p_inf = (PI * world_r2) * L.emit
@@ -78,9 +88,13 @@ def light_power(scene: Scene) -> jnp.ndarray:
         (L.ltype == LIGHT_POINT)[:, None],
         p_point,
         jnp.where(
-            (L.ltype == LIGHT_DIFFUSE_AREA)[:, None],
-            p_area,
-            jnp.where((L.ltype == LIGHT_DISTANT)[:, None], p_dist, p_inf),
+            (L.ltype == LIGHT_SPOT)[:, None],
+            p_spot,
+            jnp.where(
+                (L.ltype == LIGHT_DIFFUSE_AREA)[:, None],
+                p_area,
+                jnp.where((L.ltype == LIGHT_DISTANT)[:, None], p_dist, p_inf),
+            ),
         ),
     )
     return power
@@ -166,6 +180,22 @@ def sample_le(
     pdf_pos_point = jnp.ones((R,))
     pdf_dir_point = jnp.full((R,), INV_4PI)
 
+    # --- spot light (spot.cpp:86-100): uniform cone around the axis ---
+    cos_w = L.cos_total_width[li]
+    cos_f = L.cos_falloff_start[li]
+    axis = L.direction[li]
+    ct = (1.0 - u1[:, 0]) + u1[:, 0] * cos_w  # lerp(u, 1, cosTotal)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    phi_s = 2.0 * PI * u1[:, 1]
+    vx_s, vy_s = _frame_from_z(axis)
+    d_spot = normalize(
+        (st * jnp.cos(phi_s))[:, None] * vx_s
+        + (st * jnp.sin(phi_s))[:, None] * vy_s
+        + ct[:, None] * axis
+    )
+    pdf_dir_spot = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_w), 1e-9)
+    spot_fall = _spot_falloff(ct, cos_f, cos_w)
+
     # --- diffuse area light (diffuse.cpp:89-125), one-sided + two-sided ---
     kind = L.shape_kind[li]
     sidx = L.shape_index[li]
@@ -210,20 +240,22 @@ def sample_le(
     pdf_pos_inf = jnp.full((R,), 1.0) / (PI * world_r * world_r)
     pdf_dir_inf = jnp.full((R,), INV_4PI)
 
-    def sel(pt, ar, di, inf):
+    def sel(pt, sp, ar, di, inf):
         m = lambda t: (ltype == t) if pt.ndim == 1 else (ltype == t)[:, None]
         return jnp.where(
-            m(LIGHT_POINT),
-            pt,
-            jnp.where(m(LIGHT_DIFFUSE_AREA), ar, jnp.where(m(LIGHT_DISTANT), di, inf)),
+            m(LIGHT_POINT), pt,
+            jnp.where(m(LIGHT_SPOT), sp,
+                      jnp.where(m(LIGHT_DIFFUSE_AREA), ar,
+                                jnp.where(m(LIGHT_DISTANT), di, inf))),
         )
 
-    o = sel(o_point, o_area, o_dist, o_inf)
-    d = sel(d_point, d_area, d_dist, d_inf)
-    n_l = sel(n_point, n_sh, d_dist, d_inf)
-    pdf_pos = sel(pdf_pos_point, pdf_area, pdf_pos_dist, pdf_pos_inf)
-    pdf_dir = sel(pdf_dir_point, pdf_dir_area, pdf_dir_dist, pdf_dir_inf)
-    return LeSample(o=o, d=d, n_light=n_l, Le=emit, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
+    o = sel(o_point, o_point, o_area, o_dist, o_inf)
+    d = sel(d_point, d_spot, d_area, d_dist, d_inf)
+    n_l = sel(n_point, d_spot, n_sh, d_dist, d_inf)
+    pdf_pos = sel(pdf_pos_point, pdf_pos_point, pdf_area, pdf_pos_dist, pdf_pos_inf)
+    pdf_dir = sel(pdf_dir_point, pdf_dir_spot, pdf_dir_area, pdf_dir_dist, pdf_dir_inf)
+    Le_out = jnp.where((ltype == LIGHT_SPOT)[:, None], emit * spot_fall[:, None], emit)
+    return LeSample(o=o, d=d, n_light=n_l, Le=Le_out, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
                     medium=medium)
 
 
@@ -262,6 +294,10 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
     Li_point = emit / d2[:, None]
     pdf_point = jnp.ones((R,))
     dist_point = jnp.sqrt(d2)
+    # spot: point with cone falloff (spot.cpp:57-64)
+    cos_at = jnp.sum(-wi_point * L.direction[li], -1)
+    fall = _spot_falloff(cos_at, L.cos_falloff_start[li], L.cos_total_width[li])
+    Li_spot = Li_point * fall[:, None]
 
     # diffuse area: sample shape point, convert pdf to solid angle
     kind = L.shape_kind[li]
@@ -292,9 +328,11 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
     pdf_inf = jnp.full((R,), INV_4PI)
     dist_inf = jnp.full((R,), 2.0) * world_r
 
+    point_like = (ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT)
+
     def sel3(a, b, c, d_):
         return jnp.where(
-            (ltype == LIGHT_POINT)[:, None],
+            point_like[:, None],
             a,
             jnp.where(
                 (ltype == LIGHT_DIFFUSE_AREA)[:, None],
@@ -305,14 +343,15 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
 
     def sel1(a, b, c, d_):
         return jnp.where(
-            ltype == LIGHT_POINT,
+            point_like,
             a,
             jnp.where(
                 ltype == LIGHT_DIFFUSE_AREA, b, jnp.where(ltype == LIGHT_DISTANT, c, d_)
             ),
         )
 
-    return LiSample(
+    is_spot = (ltype == LIGHT_SPOT)
+    out = LiSample(
         wi=sel3(wi_point, wi_area, wi_dist, wi_inf),
         Li=sel3(Li_point, Li_area, Li_dist, Li_inf),
         pdf=sel1(pdf_point, pdf_area_solid, pdf_dist, pdf_inf),
@@ -320,6 +359,8 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
         p_light=sel3(pos, p_sh, p_ref + wi_dist * dist_dist[:, None],
                      p_ref + wi_inf * dist_inf[:, None]),
     )
+    # spot shares the point geometry with the cone falloff applied
+    return out._replace(Li=jnp.where(is_spot[:, None], Li_spot, out.Li))
 
 
 def escaped_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,64 @@
+"""Native (C++) runtime components with Python fallbacks.
+
+The reference is a C++ program end to end; in the rebuild the TPU compute
+path is JAX/Pallas, and the host-side runtime pieces that the reference
+implements natively (the flex scene lexer, src/core/pbrtlex.ll) are C++ here
+too, bound via ctypes.  ``g++ -O2 -shared`` builds on first use and caches
+the shared object next to the source; any failure falls back to the pure-
+Python implementation transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libpbrt_lexer.so"
+_SRC = _DIR / "pbrt_lexer.cpp"
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(str(_SO))
+        lib.pbrt_tokenize.restype = ctypes.c_int64
+        lib.pbrt_tokenize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def tokenize_native(text: str) -> Optional[List[str]]:
+    """Tokenize with the C++ lexer; None if the native path is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = text.encode("utf-8")
+    cap = max(1024, len(data) // 2)
+    for _ in range(3):
+        starts = (ctypes.c_int64 * cap)()
+        lens = (ctypes.c_int64 * cap)()
+        n = lib.pbrt_tokenize(data, len(data), starts, lens, cap)
+        if n >= 0:
+            return [data[starts[i]: starts[i] + lens[i]].decode("utf-8")
+                    for i in range(n)]
+        cap = -n
+    return None

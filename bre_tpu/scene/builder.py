@@ -15,6 +15,19 @@ from typing import List, Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
+from ..textures import (
+    TEX_CHECKERBOARD,
+    TEX_CONSTANT,
+    TEX_DOTS,
+    TEX_FBM,
+    TEX_MARBLE,
+    TEX_MIX,
+    TEX_SCALE,
+    TEX_UV,
+    TEX_WINDY,
+    TEX_WRINKLED,
+    Textures,
+)
 from .scene import (
     LIGHT_DIFFUSE_AREA,
     LIGHT_DISTANT,
@@ -23,7 +36,12 @@ from .scene import (
     LIGHT_SPOT,
     MAT_GLASS,
     MAT_MATTE,
+    MAT_METAL,
     MAT_MIRROR,
+    MAT_PLASTIC,
+    MAT_SUBSTRATE,
+    MAT_TRANSLUCENT,
+    MAT_UBER,
     MEDIUM_GRID,
     MEDIUM_HOMOGENEOUS,
     SHAPE_SPHERE,
@@ -54,26 +72,91 @@ class SceneBuilder:
         self._grid_density: Optional[np.ndarray] = None
         self._grid_world_to_medium: Optional[np.ndarray] = None
         self._grid_medium_index = -1
+        self._tex: List[dict] = []
         self.camera_medium = -1
 
-    # --- materials (reference src/materials/{matte,mirror,glass}.cpp) ---
-    def matte(self, kd=(0.5, 0.5, 0.5), sigma=0.0) -> int:
-        self._mat.append(
-            dict(mtype=MAT_MATTE, kd=_rgb(kd), ks=_rgb(0), eta=1.0, roughness=sigma)
-        )
+    # --- materials (reference src/materials/*.cpp) ---
+    def _add_mat(self, mtype, kd, ks, eta=1.0, roughness=0.0,
+                 metal_eta=(1.0, 1.0, 1.0), metal_k=(0.0, 0.0, 0.0),
+                 kd_tex=-1) -> int:
+        self._mat.append(dict(
+            mtype=mtype, kd=_rgb(kd), ks=_rgb(ks), eta=eta, roughness=roughness,
+            metal_eta=_rgb(metal_eta), metal_k=_rgb(metal_k), kd_tex=kd_tex,
+        ))
         return len(self._mat) - 1
+
+    def matte(self, kd=(0.5, 0.5, 0.5), sigma=0.0, kd_tex=-1) -> int:
+        return self._add_mat(MAT_MATTE, kd, (0, 0, 0), roughness=sigma, kd_tex=kd_tex)
 
     def mirror(self, kr=(0.9, 0.9, 0.9)) -> int:
-        self._mat.append(
-            dict(mtype=MAT_MIRROR, kd=_rgb(kr), ks=_rgb(0), eta=1.0, roughness=0.0)
-        )
-        return len(self._mat) - 1
+        return self._add_mat(MAT_MIRROR, kr, (0, 0, 0))
 
     def glass(self, kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5) -> int:
-        self._mat.append(
-            dict(mtype=MAT_GLASS, kd=_rgb(kr), ks=_rgb(kt), eta=eta, roughness=0.0)
+        return self._add_mat(MAT_GLASS, kr, kt, eta=eta)
+
+    def metal(self, eta=None, k=None, roughness=0.01, tint=(1.0, 1.0, 1.0)) -> int:
+        """GGX conductor (metal.cpp; default copper)."""
+        from ..materials import COPPER_ETA, COPPER_K
+
+        return self._add_mat(
+            MAT_METAL, (0, 0, 0), tint, roughness=roughness,
+            metal_eta=eta if eta is not None else COPPER_ETA,
+            metal_k=k if k is not None else COPPER_K,
         )
-        return len(self._mat) - 1
+
+    def plastic(self, kd=(0.25, 0.25, 0.25), ks=(0.25, 0.25, 0.25),
+                roughness=0.1, kd_tex=-1) -> int:
+        return self._add_mat(MAT_PLASTIC, kd, ks, eta=1.5, roughness=roughness,
+                             kd_tex=kd_tex)
+
+    def uber(self, kd=(0.25,) * 3, ks=(0.25,) * 3, roughness=0.1, eta=1.5,
+             kd_tex=-1) -> int:
+        return self._add_mat(MAT_UBER, kd, ks, eta=eta, roughness=roughness,
+                             kd_tex=kd_tex)
+
+    def substrate(self, kd=(0.5,) * 3, ks=(0.5,) * 3, roughness=0.1) -> int:
+        return self._add_mat(MAT_SUBSTRATE, kd, ks, roughness=roughness)
+
+    def translucent(self, kd=(0.25,) * 3, kt=(0.25,) * 3) -> int:
+        return self._add_mat(MAT_TRANSLUCENT, kd, kt)
+
+    # --- textures (reference src/textures/*; bre_tpu/textures.py) ---
+    def _add_tex(self, ttype, c0=(1, 1, 1), c1=(0, 0, 0), scale=1.0,
+                 octaves=6, omega=0.5) -> int:
+        self._tex.append(dict(ttype=ttype, c0=_rgb(c0), c1=_rgb(c1),
+                              scale=scale, octaves=octaves, omega=omega))
+        return len(self._tex) - 1
+
+    def tex_constant(self, c) -> int:
+        return self._add_tex(TEX_CONSTANT, c)
+
+    def tex_checkerboard(self, c0=(1, 1, 1), c1=(0, 0, 0), scale=1.0) -> int:
+        return self._add_tex(TEX_CHECKERBOARD, c0, c1, scale)
+
+    def tex_uv(self) -> int:
+        return self._add_tex(TEX_UV)
+
+    def tex_fbm(self, c=(1, 1, 1), scale=1.0, octaves=6, omega=0.5) -> int:
+        return self._add_tex(TEX_FBM, c, scale=scale, octaves=octaves, omega=omega)
+
+    def tex_wrinkled(self, c=(1, 1, 1), scale=1.0, octaves=6, omega=0.5) -> int:
+        return self._add_tex(TEX_WRINKLED, c, scale=scale, octaves=octaves, omega=omega)
+
+    def tex_marble(self, c0=(0.9, 0.9, 0.9), c1=(0.2, 0.2, 0.3), scale=1.0,
+                   omega=0.5) -> int:
+        return self._add_tex(TEX_MARBLE, c0, c1, scale, omega=omega)
+
+    def tex_windy(self, c=(1, 1, 1), scale=1.0) -> int:
+        return self._add_tex(TEX_WINDY, c, scale=scale)
+
+    def tex_dots(self, c0=(1, 1, 1), c1=(0, 0, 0)) -> int:
+        return self._add_tex(TEX_DOTS, c0, c1)
+
+    def tex_scale(self, c0, c1) -> int:
+        return self._add_tex(TEX_SCALE, c0, c1)
+
+    def tex_mix(self, c0, c1, amount=0.5) -> int:
+        return self._add_tex(TEX_MIX, c0, c1, scale=amount)
 
     # --- media (reference src/media/{homogeneous,grid}.cpp) ---
     def homogeneous_medium(self, sigma_a=(1, 1, 1), sigma_s=(1, 1, 1), g=0.0) -> int:
@@ -141,6 +224,123 @@ class SceneBuilder:
         )
         return len(self._tri) - 1
 
+    def _revolve(self, profile, axis_o, axis_z, n_u: int, closed_bottom=None,
+                 closed_top=None, **kw) -> None:
+        """Tessellate a surface of revolution: profile = [(r_i, z_i), ...].
+
+        TPU-first shape strategy: quadrics (disk/cylinder/cone/paraboloid/
+        hyperboloid, reference src/shapes/*.cpp) tessellate into the shared
+        triangle SoA at build time — one intersection kernel serves every
+        shape, no per-type traversal code.
+        """
+        import numpy as _np
+
+        o = _np.asarray(axis_o, _np.float32)
+        z = _np.asarray(axis_z, _np.float32)
+        z = z / max(_np.linalg.norm(z), 1e-9)
+        x = _np.array([1.0, 0, 0], _np.float32)
+        if abs(float(_np.dot(x, z))) > 0.9:
+            x = _np.array([0, 1.0, 0], _np.float32)
+        x = _np.cross(z, x)
+        x /= max(_np.linalg.norm(x), 1e-9)
+        y = _np.cross(z, x)
+        ang = _np.linspace(0, 2 * _np.pi, n_u, endpoint=False)
+        rings = []
+        for r, h in profile:
+            ring = (o[None, :] + r * (_np.cos(ang)[:, None] * x
+                                      + _np.sin(ang)[:, None] * y)
+                    + h * z[None, :])
+            rings.append(ring)
+        for k in range(len(rings) - 1):
+            a, bq = rings[k], rings[k + 1]
+            for i in range(n_u):
+                j = (i + 1) % n_u
+                if not _np.allclose(a[i], a[j]):
+                    self.triangle(a[i], a[j], bq[j], **kw)
+                if not _np.allclose(bq[i], bq[j]):
+                    self.triangle(a[i], bq[j], bq[i], **kw)
+        if closed_bottom is not None:
+            c = o + closed_bottom * z
+            ring = rings[0]
+            for i in range(n_u):
+                self.triangle(c, ring[(i + 1) % n_u], ring[i], **kw)
+        if closed_top is not None:
+            c = o + closed_top * z
+            ring = rings[-1]
+            for i in range(n_u):
+                self.triangle(c, ring[i], ring[(i + 1) % n_u], **kw)
+
+    def disk(self, center=(0, 0, 0), normal=(0, 0, 1), radius=1.0,
+             inner_radius=0.0, n_u: int = 32, **kw) -> None:
+        """Disk (src/shapes/disk.cpp), tessellated (fan when solid)."""
+        if inner_radius <= 0.0:
+            import numpy as _np
+
+            o = _np.asarray(center, _np.float32)
+            z = _np.asarray(normal, _np.float32)
+            z = z / max(_np.linalg.norm(z), 1e-9)
+            x = _np.array([1.0, 0, 0], _np.float32)
+            if abs(float(_np.dot(x, z))) > 0.9:
+                x = _np.array([0, 1.0, 0], _np.float32)
+            x = _np.cross(z, x)
+            x /= max(_np.linalg.norm(x), 1e-9)
+            y = _np.cross(z, x)
+            ang = _np.linspace(0, 2 * _np.pi, n_u, endpoint=False)
+            ring = o[None, :] + radius * (_np.cos(ang)[:, None] * x
+                                          + _np.sin(ang)[:, None] * y)
+            for i in range(n_u):
+                self.triangle(o, ring[i], ring[(i + 1) % n_u], **kw)
+        else:
+            prof = [(inner_radius, 0.0), (radius, 0.0)]
+            self._revolve(prof, center, normal, n_u, **kw)
+
+    def cylinder(self, center=(0, 0, 0), axis=(0, 0, 1), radius=1.0,
+                 zmin=-1.0, zmax=1.0, n_u: int = 32, **kw) -> None:
+        """Cylinder (src/shapes/cylinder.cpp), tessellated (open ends)."""
+        self._revolve([(radius, zmin), (radius, zmax)], center, axis, n_u, **kw)
+
+    def cone(self, center=(0, 0, 0), axis=(0, 0, 1), radius=1.0, height=1.0,
+             n_u: int = 32, **kw) -> None:
+        """Cone (src/shapes/cone.cpp), tessellated."""
+        self._revolve([(radius, 0.0), (1e-5, height)], center, axis, n_u, **kw)
+
+    def paraboloid(self, center=(0, 0, 0), axis=(0, 0, 1), radius=1.0,
+                   zmax=1.0, n_v: int = 8, n_u: int = 32, **kw) -> None:
+        """Paraboloid z = zmax*(r/radius)^2 (src/shapes/paraboloid.cpp)."""
+        import numpy as _np
+
+        prof = [(radius * _np.sqrt(t), zmax * t) for t in _np.linspace(1e-4, 1.0, n_v)]
+        self._revolve(prof, center, axis, n_u, **kw)
+
+    def hyperboloid(self, center=(0, 0, 0), axis=(0, 0, 1), r1=0.5, r2=1.0,
+                    zmin=0.0, zmax=1.0, n_v: int = 8, n_u: int = 32, **kw) -> None:
+        """Hyperboloid of revolution (src/shapes/hyperboloid.cpp)."""
+        import numpy as _np
+
+        prof = [(r1 + (r2 - r1) * t * t, zmin + (zmax - zmin) * t)
+                for t in _np.linspace(0.0, 1.0, n_v)]
+        self._revolve(prof, center, axis, n_u, **kw)
+
+    def heightfield(self, z: "np.ndarray", origin=(0, 0, 0), size=(1.0, 1.0),
+                    **kw) -> None:
+        """Heightfield grid -> triangles (src/shapes/heightfield.cpp)."""
+        import numpy as _np
+
+        z = _np.asarray(z, _np.float32)
+        ny, nx = z.shape
+        ox, oy, oz = (float(v) for v in origin)
+        sx, sy = (float(v) for v in size)
+        xs = _np.linspace(0, sx, nx) + ox
+        ys = _np.linspace(0, sy, ny) + oy
+        for j in range(ny - 1):
+            for i in range(nx - 1):
+                p00 = (xs[i], ys[j], oz + z[j, i])
+                p10 = (xs[i + 1], ys[j], oz + z[j, i + 1])
+                p01 = (xs[i], ys[j + 1], oz + z[j + 1, i])
+                p11 = (xs[i + 1], ys[j + 1], oz + z[j + 1, i + 1])
+                self.triangle(p00, p10, p11, **kw)
+                self.triangle(p00, p11, p01, **kw)
+
     def quad(self, p0, p1, p2, p3, **kw) -> Sequence[int]:
         """Two triangles (p0,p1,p2) and (p0,p2,p3)."""
         return self.triangle(p0, p1, p2, **kw), self.triangle(p0, p2, p3, **kw)
@@ -162,53 +362,41 @@ class SceneBuilder:
         self.quad((hx, ly, lz), (hx, hy, lz), (hx, hy, hz), (hx, ly, hz), **kw)  # x=hi
 
     # --- lights (reference src/lights/*) ---
-    def point_light(self, position=(0, 0, 0), intensity=(1, 1, 1), medium: int = -1) -> int:
-        self._light.append(
-            dict(
-                ltype=LIGHT_POINT,
-                position=_rgb(position),
-                direction=np.zeros(3, np.float32),
-                emit=_rgb(intensity),
-                shape_kind=-1,
-                shape_index=-1,
-                two_sided=0,
-                medium=medium,
-            )
-        )
+    def _add_light(self, **kw) -> int:
+        base = dict(shape_kind=-1, shape_index=-1, two_sided=0, medium=-1,
+                    cos_falloff_start=1.0, cos_total_width=1.0,
+                    direction=np.zeros(3, np.float32))
+        base.update(kw)
+        self._light.append(base)
         return len(self._light) - 1
+
+    def point_light(self, position=(0, 0, 0), intensity=(1, 1, 1), medium: int = -1) -> int:
+        return self._add_light(ltype=LIGHT_POINT, position=_rgb(position),
+                               emit=_rgb(intensity), medium=medium)
+
+    def spot_light(self, position=(0, 0, 0), target=(0, 0, 1), intensity=(1, 1, 1),
+                   coneangle=30.0, conedeltaangle=5.0, medium: int = -1) -> int:
+        """Spot light (src/lights/spot.cpp; params coneangle/conedeltaangle)."""
+        w = _rgb(target) - _rgb(position)
+        w = w / max(np.linalg.norm(w), 1e-9)
+        return self._add_light(
+            ltype=LIGHT_SPOT, position=_rgb(position), direction=w,
+            emit=_rgb(intensity), medium=medium,
+            cos_falloff_start=float(np.cos(np.deg2rad(coneangle - conedeltaangle))),
+            cos_total_width=float(np.cos(np.deg2rad(coneangle))),
+        )
 
     def distant_light(self, direction=(0, 0, -1), radiance=(1, 1, 1)) -> int:
         w = np.asarray(direction, np.float32)
         w = w / np.linalg.norm(w)
-        self._light.append(
-            dict(
-                ltype=LIGHT_DISTANT,
-                position=np.zeros(3, np.float32),
-                direction=w,
-                emit=_rgb(radiance),
-                shape_kind=-1,
-                shape_index=-1,
-                two_sided=0,
-                medium=-1,
-            )
-        )
-        return len(self._light) - 1
+        return self._add_light(ltype=LIGHT_DISTANT, position=np.zeros(3, np.float32),
+                               direction=w, emit=_rgb(radiance))
 
     def infinite_light(self, radiance=(1, 1, 1)) -> int:
         """Constant environment light (src/lights/infinite.cpp, constant L)."""
-        self._light.append(
-            dict(
-                ltype=LIGHT_INFINITE,
-                position=np.zeros(3, np.float32),
-                direction=np.zeros(3, np.float32),
-                emit=_rgb(radiance),
-                shape_kind=-1,
-                shape_index=-1,
-                two_sided=0,
-                medium=-1,
-            )
-        )
-        return len(self._light) - 1
+        return self._add_light(ltype=LIGHT_INFINITE,
+                               position=np.zeros(3, np.float32),
+                               emit=_rgb(radiance))
 
     def area_light_sphere(self, center, radius, radiance, material: int = -1,
                           two_sided=False, medium: int = -1, medium_inside: int = -1) -> int:
@@ -218,17 +406,10 @@ class SceneBuilder:
             center, radius, material=material, _area_light=light_id,
             medium_inside=medium_inside, medium_outside=medium,
         )
-        self._light.append(
-            dict(
-                ltype=LIGHT_DIFFUSE_AREA,
-                position=_rgb(center),
-                direction=np.zeros(3, np.float32),
-                emit=_rgb(radiance),
-                shape_kind=SHAPE_SPHERE,
-                shape_index=sidx,
-                two_sided=int(two_sided),
-                medium=medium,
-            )
+        self._add_light(
+            ltype=LIGHT_DIFFUSE_AREA, position=_rgb(center), emit=_rgb(radiance),
+            shape_kind=SHAPE_SPHERE, shape_index=sidx, two_sided=int(two_sided),
+            medium=medium,
         )
         return light_id
 
@@ -240,17 +421,11 @@ class SceneBuilder:
             light_id = len(self._light)
             tidx = self.triangle(*tri, material=material, _area_light=light_id,
                                  medium_inside=medium, medium_outside=medium)
-            self._light.append(
-                dict(
-                    ltype=LIGHT_DIFFUSE_AREA,
-                    position=np.mean(np.stack([_rgb(p) for p in tri]), 0),
-                    direction=np.zeros(3, np.float32),
-                    emit=_rgb(radiance),
-                    shape_kind=SHAPE_TRIANGLE,
-                    shape_index=tidx,
-                    two_sided=int(two_sided),
-                    medium=medium,
-                )
+            self._add_light(
+                ltype=LIGHT_DIFFUSE_AREA,
+                position=np.mean(np.stack([_rgb(p) for p in tri]), 0),
+                emit=_rgb(radiance), shape_kind=SHAPE_TRIANGLE, shape_index=tidx,
+                two_sided=int(two_sided), medium=medium,
             )
             ids.append(light_id)
         return ids[0]
@@ -290,6 +465,17 @@ class SceneBuilder:
             ks=stack(self._mat, "ks"),
             eta=col(self._mat, "eta", np.float32),
             roughness=col(self._mat, "roughness", np.float32),
+            metal_eta=stack(self._mat, "metal_eta"),
+            metal_k=stack(self._mat, "metal_k"),
+            kd_tex=col(self._mat, "kd_tex"),
+        )
+        textures = Textures(
+            ttype=col(self._tex, "ttype"),
+            c0=stack(self._tex, "c0"),
+            c1=stack(self._tex, "c1"),
+            scale=col(self._tex, "scale", np.float32),
+            octaves=col(self._tex, "octaves"),
+            omega=col(self._tex, "omega", np.float32),
         )
         lights = Lights(
             ltype=col(self._light, "ltype"),
@@ -300,6 +486,8 @@ class SceneBuilder:
             shape_index=col(self._light, "shape_index"),
             two_sided=col(self._light, "two_sided"),
             medium=col(self._light, "medium"),
+            cos_falloff_start=col(self._light, "cos_falloff_start", np.float32),
+            cos_total_width=col(self._light, "cos_total_width", np.float32),
         )
         density = (
             jnp.asarray(self._grid_density)
@@ -342,6 +530,7 @@ class SceneBuilder:
             materials=materials,
             lights=lights,
             media=media,
+            textures=textures,
             camera_medium=jnp.int32(self.camera_medium),
             world_min=jnp.asarray(wmin, jnp.float32),
             world_max=jnp.asarray(wmax, jnp.float32),

@@ -23,6 +23,7 @@ from ..core.sampling import concentric_sample_disk
 
 CAMERA_PERSPECTIVE = 0
 CAMERA_ORTHOGRAPHIC = 1
+CAMERA_ENVIRONMENT = 2  # src/cameras/environment.cpp (equirectangular)
 
 
 class Camera(NamedTuple):
@@ -93,6 +94,24 @@ def make_orthographic_camera(
     )
 
 
+def make_environment_camera(camera_to_world: jnp.ndarray, width: int,
+                            height: int) -> Camera:
+    """Equirectangular environment camera (src/cameras/environment.cpp): theta in
+    [0,pi] over rows, phi in [0,2pi] over columns; rays from the camera
+    origin.  raster_to_camera stores (1/width, 1/height) scaling implicitly
+    via ctype dispatch in generate_rays."""
+    import numpy as _np
+
+    rtc = _np.diag([1.0 / width, 1.0 / height, 1.0, 1.0]).astype(_np.float32)
+    return Camera(
+        ctype=jnp.int32(CAMERA_ENVIRONMENT),
+        camera_to_world=jnp.asarray(camera_to_world, jnp.float32),
+        raster_to_camera=jnp.asarray(rtc),
+        lens_radius=jnp.float32(0.0),
+        focal_distance=jnp.float32(1e6),
+    )
+
+
 def generate_rays(
     camera: Camera, p_raster: jnp.ndarray, u_lens: jnp.ndarray | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -112,6 +131,15 @@ def generate_rays(
     d_ortho = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
     o = jnp.where(is_persp, o_persp, o_ortho)
     d = jnp.where(is_persp, d_persp, d_ortho)
+    # environment camera: equirect theta/phi from normalized raster coords
+    is_env = camera.ctype == CAMERA_ENVIRONMENT
+    sxy = p_film @ camera.raster_to_camera[:3, :3].T  # normalized (x,y in [0,1])
+    theta = jnp.pi * sxy[:, 1]
+    phi = 2.0 * jnp.pi * sxy[:, 0]
+    d_env = jnp.stack([jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta),
+                       jnp.sin(theta) * jnp.sin(phi)], -1)
+    o = jnp.where(is_env, jnp.zeros_like(o), o)
+    d = jnp.where(is_env, d_env, d)
 
     if u_lens is not None:
         # Thin-lens depth of field (perspective.cpp:96-110)

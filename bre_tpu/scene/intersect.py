@@ -42,6 +42,8 @@ class Hit(NamedTuple):
     area_light: jnp.ndarray  # (R,) int32
     prim_kind: jnp.ndarray  # (R,) int32 SHAPE_*
     prim_index: jnp.ndarray  # (R,) int32
+    uv: jnp.ndarray  # (R,2) surface parameterization (sphere phi/theta,
+    #                  triangle barycentrics) — pbrt SurfaceInteraction::uv
 
 
 def ray_sphere(o, d, center, radius, t_min, t_max):
@@ -162,19 +164,37 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         -1,
     )
 
-    # Outward geometric normal.
+    # Outward geometric normal + surface UV.
     n = jnp.zeros_like(p)
+    uv = jnp.zeros((R, 2))
     if scene.n_spheres > 0:
         c = scene.spheres.center[best_idx]
         n_s = normalize(p - c)
         n = jnp.where((best_kind == SHAPE_SPHERE)[:, None], n_s, n)
+        # sphere UV (sphere.cpp: phi/phiMax, theta range)
+        phi = jnp.arctan2(n_s[:, 1], n_s[:, 0])
+        phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
+        theta = jnp.arccos(jnp.clip(n_s[:, 2], -1.0, 1.0))
+        uv_s = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], -1)
+        uv = jnp.where((best_kind == SHAPE_SPHERE)[:, None], uv_s, uv)
     if scene.n_triangles > 0:
         ii = best_idx
-        n_t = normalize(
-            cross(scene.triangles.p1[ii] - scene.triangles.p0[ii],
-                  scene.triangles.p2[ii] - scene.triangles.p0[ii])
-        )
+        e1 = scene.triangles.p1[ii] - scene.triangles.p0[ii]
+        e2 = scene.triangles.p2[ii] - scene.triangles.p0[ii]
+        n_t = normalize(cross(e1, e2))
         n = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None], n_t, n)
+        # barycentric UV (triangle.cpp default uv (0,0),(1,0),(1,1))
+        rel = p - scene.triangles.p0[ii]
+        d11 = jnp.sum(e1 * e1, -1)
+        d12 = jnp.sum(e1 * e2, -1)
+        d22 = jnp.sum(e2 * e2, -1)
+        dr1 = jnp.sum(rel * e1, -1)
+        dr2 = jnp.sum(rel * e2, -1)
+        det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+        b1 = (d22 * dr1 - d12 * dr2) / det
+        b2 = (d11 * dr2 - d12 * dr1) / det
+        uv_t = jnp.stack([b1, b2], -1)
+        uv = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None], uv_t, uv)
 
     return Hit(
         valid=valid,
@@ -187,6 +207,7 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         area_light=area_light,
         prim_kind=best_kind,
         prim_index=best_idx,
+        uv=uv,
     )
 
 

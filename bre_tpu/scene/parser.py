@@ -36,7 +36,14 @@ _TOKEN_RE = re.compile(r'"[^"]*"|\[|\]|[^\s"\[\]#]+|#[^\n]*')
 
 def tokenize(text: str) -> List[str]:
     """Lex a .pbrt file into tokens (strings keep quotes; comments dropped).
-    Mirrors pbrtlex.ll's token classes."""
+    Mirrors pbrtlex.ll's token classes.  Uses the native C++ lexer
+    (bre_tpu/native/pbrt_lexer.cpp) when available, regex fallback otherwise.
+    """
+    from ..native import tokenize_native
+
+    toks = tokenize_native(text)
+    if toks is not None:
+        return toks
     return [t for t in _TOKEN_RE.findall(text) if not t.startswith("#")]
 
 
@@ -188,6 +195,22 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 _p3(params, "Kr", (1, 1, 1)), _p3(params, "Kt", (1, 1, 1)),
                 _f(params, "eta", _f(params, "index", 1.5)),
             )
+        if mat_type == "metal":
+            return b.metal(roughness=_f(params, "roughness", 0.01))
+        if mat_type in ("plastic",):
+            return b.plastic(_p3(params, "Kd", (0.25,) * 3),
+                             _p3(params, "Ks", (0.25,) * 3),
+                             _f(params, "roughness", 0.1))
+        if mat_type == "uber":
+            return b.uber(_p3(params, "Kd", (0.25,) * 3),
+                          _p3(params, "Ks", (0.25,) * 3),
+                          _f(params, "roughness", 0.1))
+        if mat_type == "substrate":
+            return b.substrate(_p3(params, "Kd", (0.5,) * 3),
+                               _p3(params, "Ks", (0.5,) * 3),
+                               _f(params, "roughness", 0.1))
+        if mat_type == "translucent":
+            return b.translucent(_p3(params, "Kd", (0.25,) * 3))
         if mat_type in ("", "none"):
             return -1
         warnings.warn(f"material '{mat_type}' not implemented; using matte")
@@ -336,6 +359,13 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
             elif ltype == "infinite":
                 L = _p3(p, "L", (1, 1, 1)) * scale_
                 b.infinite_light(L)
+            elif ltype == "spot":
+                I = _p3(p, "I", (1, 1, 1)) * scale_
+                from_ = xf_point(_p3(p, "from", (0, 0, 0)))
+                to = xf_point(_p3(p, "to", (0, 0, 1)))
+                b.spot_light(from_, to, I,
+                             coneangle=_f(p, "coneangle", 30.0),
+                             conedeltaangle=_f(p, "conedeltaangle", 5.0))
             else:
                 warnings.warn(f"light '{ltype}' unsupported; treated as point")
                 b.point_light(xf_point((0, 0, 0)), _p3(p, "I", (1, 1, 1)))
@@ -376,16 +406,15 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                                           _area_light=light_id)
                         from .scene import LIGHT_DIFFUSE_AREA, SHAPE_TRIANGLE
 
-                        b._light.append(dict(
+                        b._add_light(
                             ltype=LIGHT_DIFFUSE_AREA,
                             position=(v0 + v1 + v2) / 3.0,
-                            direction=np.zeros(3, np.float32),
                             emit=np.asarray(gs.area_light["L"], np.float32),
                             shape_kind=SHAPE_TRIANGLE,
                             shape_index=tidx,
                             two_sided=int(gs.area_light["twosided"]),
                             medium=mo,
-                        ))
+                        )
                     else:
                         b.triangle(v0, v1, v2, material=gs.material,
                                    medium_inside=mi, medium_outside=mo)

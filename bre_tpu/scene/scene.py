@@ -27,8 +27,11 @@ MAT_NONE = -1  # boundary-only surface (medium interface), pbrt nullptr material
 MAT_MATTE = 0  # src/materials/matte.cpp (Lambertian / Oren-Nayar)
 MAT_MIRROR = 1  # src/materials/mirror.cpp (perfect specular reflection)
 MAT_GLASS = 2  # src/materials/glass.cpp (specular reflection+transmission)
-MAT_METAL = 3
-MAT_PLASTIC = 4
+MAT_METAL = 3  # src/materials/metal.cpp (GGX + conductor fresnel)
+MAT_PLASTIC = 4  # src/materials/plastic.cpp (lambert + GGX dielectric coat)
+MAT_UBER = 5  # src/materials/uber.cpp (treated as plastic: kd+ks)
+MAT_SUBSTRATE = 6  # src/materials/substrate.cpp (FresnelBlend)
+MAT_TRANSLUCENT = 7  # src/materials/translucent.cpp (two-sided lambert)
 
 # Light type tags (reference src/lights/*)
 LIGHT_POINT = 0  # src/lights/point.cpp
@@ -73,14 +76,20 @@ class Triangles(NamedTuple):
 class Materials(NamedTuple):
     """Tagged material table (reference src/materials/*).
 
-    kd doubles as: matte kd / mirror kr / glass kr; ks = glass kt / plastic ks.
+    kd doubles as: matte kd / mirror kr / glass kr; ks = glass kt / plastic
+    ks / metal tint.  metal_eta/metal_k: conductor fresnel (metal.cpp).
+    kd_tex: procedural texture index into the scene texture table (-1 = use
+    the constant kd).
     """
 
     mtype: jnp.ndarray  # (Nm,) int32 tag
     kd: jnp.ndarray  # (Nm, 3)
     ks: jnp.ndarray  # (Nm, 3)
-    eta: jnp.ndarray  # (Nm,) index of refraction (glass)
-    roughness: jnp.ndarray  # (Nm,) (0 = smooth); matte sigma (Oren-Nayar) in deg
+    eta: jnp.ndarray  # (Nm,) index of refraction (glass/plastic coat)
+    roughness: jnp.ndarray  # (Nm,) GGX alpha (0 = smooth); matte sigma deg
+    metal_eta: jnp.ndarray  # (Nm, 3) conductor eta
+    metal_k: jnp.ndarray  # (Nm, 3) conductor absorption
+    kd_tex: jnp.ndarray  # (Nm,) int32 texture index or -1
 
 
 class Lights(NamedTuple):
@@ -92,12 +101,14 @@ class Lights(NamedTuple):
 
     ltype: jnp.ndarray  # (Nl,) int32 tag
     position: jnp.ndarray  # (Nl, 3) point/spot position
-    direction: jnp.ndarray  # (Nl, 3) distant light w (pointing FROM light)
+    direction: jnp.ndarray  # (Nl, 3) distant/spot axis (direction light travels)
     emit: jnp.ndarray  # (Nl, 3)
     shape_kind: jnp.ndarray  # (Nl,) int32 SHAPE_* or -1
     shape_index: jnp.ndarray  # (Nl,) int32
     two_sided: jnp.ndarray  # (Nl,) int32 0/1 (area lights)
     medium: jnp.ndarray  # (Nl,) int32 medium the light sits in (-1 vacuum)
+    cos_falloff_start: jnp.ndarray  # (Nl,) spot inner cone (spot.cpp)
+    cos_total_width: jnp.ndarray  # (Nl,) spot outer cone
 
 
 class Media(NamedTuple):
@@ -132,6 +143,7 @@ class Scene(NamedTuple):
     materials: Materials
     lights: Lights
     media: Media
+    textures: "object"  # Textures table (bre_tpu/textures.py)
     camera_medium: jnp.ndarray  # () int32 medium the camera sits in
     world_min: jnp.ndarray  # (3,) world bounds (for distant/infinite lights)
     world_max: jnp.ndarray  # (3,)

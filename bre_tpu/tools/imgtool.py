@@ -1,0 +1,113 @@
+"""imgtool: image utilities (diff / cat / convert / assemble).
+
+Reference: /root/reference/src/tools/imgtool.cpp — ``assemble`` (:190),
+``cat`` (:287), ``diff`` with MSE (:334), convert/tonemap; the ``diff``
+command is the allclose harness for image comparison (BASELINE
+"image+grad allclose vs a reference pbrt CPU run").
+Usage: ``python -m bre_tpu.tools.imgtool diff a.pfm b.pfm [--tol 0.01]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..io.image import read_image, write_image
+
+
+def cmd_diff(args) -> int:
+    """MSE/MRSE diff (imgtool.cpp:334-417)."""
+    a = read_image(args.image1).astype(np.float64)
+    b = read_image(args.image2).astype(np.float64)
+    if a.shape != b.shape:
+        print(f"imgtool: size mismatch {a.shape} vs {b.shape}", file=sys.stderr)
+        return 1
+    diff = a - b
+    mse = float((diff * diff).mean())
+    mrse = float(((diff * diff) / np.maximum(b * b, 1e-10)).mean())
+    avg_a, avg_b = float(a.mean()), float(b.mean())
+    delta = 100.0 * (avg_a - avg_b) / avg_b if avg_b != 0 else float("inf")
+    n_diff = int((diff != 0).sum())
+    print(
+        f"imgtool: {n_diff} pixels differ ({100.0 * n_diff / diff.size:.2f}%)\n"
+        f"  avg {avg_a:.6g} vs {avg_b:.6g} (delta {delta:+.3f}%)\n"
+        f"  MSE {mse:.6g}, MRSE {mrse:.6g}"
+    )
+    if args.outfile:
+        write_image(args.outfile, np.abs(diff).astype(np.float32))
+    if args.tol is not None and mse > args.tol:
+        return 1
+    return 0
+
+
+def cmd_cat(args) -> int:
+    """Print pixel values (imgtool.cpp:287-332)."""
+    img = read_image(args.image)
+    h, w = img.shape[:2]
+    print(f"{args.image}: {w} x {h}")
+    for y in range(h):
+        for x in range(w):
+            px = img[y, x]
+            print(f"({x}, {y}): ({px[0]:.6g}, {px[1]:.6g}, {px[2]:.6g})")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    """Convert between formats with optional scale/tonemap
+    (imgtool.cpp convert)."""
+    img = read_image(args.infile).astype(np.float32)
+    img = img * args.scale
+    if args.tonemap:
+        # simple Reinhard
+        img = img / (1.0 + img)
+    write_image(args.outfile, img)
+    print(f"imgtool: wrote {args.outfile}")
+    return 0
+
+
+def cmd_assemble(args) -> int:
+    """Merge non-overlapping crops into one image (imgtool.cpp:190-285).
+
+    Crops are full-size images that are zero outside their window; assemble
+    sums them (our film writes full frames, so this is a sum-merge).
+    """
+    imgs = [read_image(f).astype(np.float64) for f in args.images]
+    base = np.zeros_like(imgs[0])
+    for im in imgs:
+        if im.shape != base.shape:
+            print("imgtool: size mismatch in assemble", file=sys.stderr)
+            return 1
+        base += im
+    write_image(args.outfile, base.astype(np.float32))
+    print(f"imgtool: wrote {args.outfile}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="imgtool")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("diff")
+    d.add_argument("image1")
+    d.add_argument("image2")
+    d.add_argument("--outfile", "-o", default=None)
+    d.add_argument("--tol", type=float, default=None,
+                   help="exit 1 if MSE exceeds this")
+    c = sub.add_parser("cat")
+    c.add_argument("image")
+    v = sub.add_parser("convert")
+    v.add_argument("infile")
+    v.add_argument("outfile")
+    v.add_argument("--scale", type=float, default=1.0)
+    v.add_argument("--tonemap", action="store_true")
+    a = sub.add_parser("assemble")
+    a.add_argument("outfile")
+    a.add_argument("images", nargs="+")
+    args = ap.parse_args(argv)
+    return {"diff": cmd_diff, "cat": cmd_cat, "convert": cmd_convert,
+            "assemble": cmd_assemble}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
