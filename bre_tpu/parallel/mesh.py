@@ -155,3 +155,25 @@ def make_inverse_train_step(
         return jax.value_and_grad(loss_fn)(params)
 
     return step
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> Mesh:
+    """Multi-host entry point (BASELINE config 5: "multi-host sharded").
+
+    Wraps ``jax.distributed.initialize`` (the JAX multi-controller runtime:
+    one process per host, all devices visible after init) and returns the
+    global 1D mesh over every chip in the slice.  The same
+    ``sharded_photonbeam_iteration`` / ``make_inverse_train_step`` code runs
+    unchanged — photon/pixel shards span hosts, the beam all-gather rides ICI
+    within a slice and DCN across slices, and parameter-gradient psums cross
+    the same fabric.  No-ops when already initialized (single host).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return make_mesh()
