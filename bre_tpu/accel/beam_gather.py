@@ -307,7 +307,82 @@ def _gather_fwd_pallas(cfg, pb, seg):
     return _pallas_forward(cfg, pb, seg), (pb, seg)
 
 
-_gather_core_pallas.defvjp(_gather_fwd_pallas, _gather_bwd)
+# The analytic Pallas backward needs TWO kernel passes (per-ray and per-beam
+# cotangents accumulate over different grid axes), each repeating the pair
+# recompute; measured on v5e it loses to XLA's single-pass chunk recompute
+# (6.6s vs 4.7s at bench scale), so it stays opt-in.
+PALLAS_BWD_ENABLED = False
+
+
+def _gather_bwd_pallas(cfg, res, ct):
+    """Backward: analytic Pallas kernels when geometry is stop-gradient
+    (grad_geometry=False) and PALLAS_BWD_ENABLED; XLA chunk recompute
+    otherwise (the measured default)."""
+    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom = cfg
+    if grad_geom or kernel != KERNEL_BRE or not PALLAS_BWD_ENABLED:
+        return _gather_bwd(cfg, res, ct)
+    from ..ops.pallas_gather import pack_beams, pack_rays
+    from ..ops.pallas_gather_bwd import (
+        DR_CAMR,
+        DR_G,
+        DR_SIGS,
+        DR_TR,
+        pallas_gather_backward,
+    )
+    from ..ops.pallas_gather import BF_PE, BF_PS, BF_RAD
+
+    pb, seg = res
+    R = seg["a0"].shape[0]
+    tile = 256
+    R_pad = ((R + tile - 1) // tile) * tile
+    seg_p = seg
+    if R_pad != R:
+        seg_p = {
+            k: (v if k == "cam_radius" else jnp.concatenate(
+                [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0))
+            for k, v in seg.items()
+        }
+    n_tiles = R_pad // tile
+    rays_packed = pack_rays(seg_p, tile)
+    beams_packed = pack_beams(pb, chunk)
+    scalars = jnp.stack(
+        [jnp.asarray(seg["cam_radius"], jnp.float32),
+         jnp.float32(power_scale), jnp.float32(min_sin)]
+    ).reshape(1, 3)
+    ct_pad = jnp.concatenate([ct, jnp.zeros((R_pad - R, 3))], 0) if R_pad != R else ct
+    ct_packed = jnp.concatenate(
+        [ct_pad.reshape(n_tiles, tile, 3).transpose(0, 2, 1),
+         jnp.zeros((n_tiles, 5, tile))], 1,
+    )
+    d_rays, d_beams = pallas_gather_backward(
+        rays_packed, beams_packed, scalars, ct_packed, tile, chunk
+    )
+    # unpack per-ray cotangents (n_tiles, 8, T) -> (R, ...)
+    dr = d_rays.transpose(0, 2, 1).reshape(R_pad, 8)[:R]
+    zero3 = jnp.zeros((R, 3))
+    ct_seg = dict(
+        a0=zero3, a1=zero3, dir=zero3,
+        len=jnp.zeros((R,)),
+        tr_full=dr[:, DR_TR:DR_TR + 3],
+        sigma_s=dr[:, DR_SIGS:DR_SIGS + 3],
+        g=dr[:, DR_G],
+        in_med_f=jnp.zeros((R,)),
+        cam_radius=jnp.sum(dr[:, DR_CAMR]).reshape(()),
+    )
+    db = d_beams.reshape(n_chunks * chunk, -1)
+    Bp = pb["radius"].shape[0]
+    db = db[:Bp]
+    ct_pb = dict(
+        start=jnp.zeros((Bp, 3)), end=jnp.zeros((Bp, 3)),
+        power_start=db[:, BF_PS:BF_PS + 3],
+        power_end=db[:, BF_PE:BF_PE + 3],
+        radius=db[:, BF_RAD],
+        valid_f=jnp.zeros((Bp,)),
+    )
+    return ct_pb, ct_seg
+
+
+_gather_core_pallas.defvjp(_gather_fwd_pallas, _gather_bwd_pallas)
 
 
 def gather_beams_bruteforce(

@@ -1,0 +1,230 @@
+"""Pallas TPU backward kernels for the dense beam gather.
+
+Used in ``grad_geometry=False`` mode (medium-parameter fitting): the
+closest-point geometry is stop-gradient, so the surviving cotangent chains
+are analytic and cheap — beam powers (exponential interpolation), camera
+transmittance, sigma_s, HG g, and blur radii.  Two kernels because each
+output accumulates over a different grid axis (Pallas requires consecutive
+revisits of an output block):
+
+- ``bwd_rays``: grid (i=ray tiles, j=beam chunks), j fast — accumulates the
+  per-ray cotangents (d tr_full, d sigma_s, d g, d cam_radius partials);
+- ``bwd_beams``: grid (j=beam chunks, i=ray tiles), i fast — accumulates the
+  per-beam cotangents (d power_start, d power_end, d radius).
+
+Both recompute the forward pair quantities in VMEM (the same recompute the
+XLA custom-VJP does, but fused and without HBM intermediates).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_gather import (
+    BF_B0,
+    BF_B1,
+    BF_PE,
+    BF_PS,
+    BF_RAD,
+    BF_VALID,
+    NB,
+    NF,
+    RF_A0,
+    RF_A1,
+    RF_DIR,
+    RF_G,
+    RF_INMED,
+    RF_LEN,
+    RF_SIGS,
+    RF_TR,
+)
+
+# output rows for the per-ray cotangent pack (n_tiles, 8, T)
+DR_TR = 0  # d tr_full rgb rows 0..2
+DR_SIGS = 3  # d sigma_s rgb rows 3..5
+DR_G = 6
+DR_CAMR = 7  # per-ray partial of d cam_radius
+
+
+def _pair_quantities(scalars_ref, rays_ref, beams_ref):
+    """Recompute the stop-gradient forward quantities on (C,T) tiles."""
+    cam_radius = scalars_ref[0, 0]
+    power_scale = scalars_ref[0, 1]
+    min_sin = scalars_ref[0, 2]
+
+    r_row = lambda k: rays_ref[0, k : k + 1, :]
+    b_col = lambda k: beams_ref[0, :, k : k + 1]
+
+    a0 = [r_row(RF_A0 + c) for c in range(3)]
+    d1 = [r_row(RF_A1 + c) - a0[c] for c in range(3)]
+    b0 = [b_col(BF_B0 + c) for c in range(3)]
+    d2 = [b_col(BF_B1 + c) - b0[c] for c in range(3)]
+    rr = [a0[c] - b0[c] for c in range(3)]
+
+    a = sum(d1[c] * d1[c] for c in range(3))
+    e = sum(d2[c] * d2[c] for c in range(3))
+    b = sum(d1[c] * d2[c] for c in range(3))
+    c_ = sum(d1[c] * rr[c] for c in range(3))
+    f = sum(d2[c] * rr[c] for c in range(3))
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, (b * f - c_ * e) / jnp.where(denom > 1e-12, denom, 1.0), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(e > 1e-12, (b * s + f) / jnp.where(e > 1e-12, e, 1.0), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s_new = jnp.clip((t_cl * b - c_) / jnp.where(a > 1e-12, a, 1.0), 0.0, 1.0)
+    s = jnp.where((t != t_cl) & (a > 1e-12), s_new, s)
+
+    dist2 = jnp.zeros_like(b)
+    for c in range(3):
+        diff = (a0[c] + d1[c] * s) - (b0[c] + d2[c] * t_cl)
+        dist2 = dist2 + diff * diff
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+
+    width = cam_radius + b_col(BF_RAD)
+    r_n = dist / jnp.maximum(width, 1e-30)
+    in_range = ((r_n < 1.0).astype(jnp.float32)) * b_col(BF_VALID) * r_row(RF_INMED)
+
+    cos_theta = sum(
+        r_row(RF_DIR + c) * (d2[c] / jnp.sqrt(jnp.maximum(e, 1e-30))) for c in range(3)
+    )
+    gg = r_row(RF_G)
+    den_hg = 1.0 + gg * gg + 2.0 * gg * cos_theta
+    den_hg = jnp.maximum(den_hg, 1e-12)
+    inv4pi = 0.07957747154594767
+    rho = inv4pi * (1.0 - gg * gg) / (den_hg * jnp.sqrt(den_hg))
+    # d rho / d g (analytic)
+    drho_dg = inv4pi * (
+        (-2.0 * gg) * den_hg ** -1.5
+        + (1.0 - gg * gg) * (-1.5) * den_hg ** -2.5 * (2.0 * gg + 2.0 * cos_theta)
+    )
+    sin_theta = jnp.maximum(
+        jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12)), min_sin
+    )
+    k1 = 0.75 * (1.0 - r_n * r_n) / jnp.maximum(width, 1e-30)
+    # d k1 / d width = 0.75 * (-1/w^2 + 3 d^2 / w^4)
+    dk1_dw = 0.75 * (-1.0 / jnp.maximum(width * width, 1e-30)
+                     + 3.0 * dist2 / jnp.maximum(width ** 4, 1e-30))
+
+    base = power_scale * in_range / sin_theta  # shared factor (C,T)
+    return dict(
+        base=base, rho=rho, drho_dg=drho_dg, k1=k1, dk1_dw=dk1_dw,
+        frac_b=t_cl, frac_c=jnp.clip(s, 0.0, 1.0),  # beam vs CAMERA fraction
+        r_row=r_row, b_col=b_col,
+    )
+
+
+def _interp_terms(ps, pe, frac):
+    """p_at plus its partials wrt ps/pe (matching _interp_power)."""
+    ok = ps > 1e-20
+    ps_s = jnp.where(ok, ps, 1.0)
+    pe_s = jnp.where(ok, jnp.maximum(pe, 1e-12 * ps_s), 1.0)
+    p_at = jnp.where(ok, ps_s * jnp.exp(frac * jnp.log(pe_s / ps_s)), 0.0)
+    dp_dps = jnp.where(ok, p_at * (1.0 - frac) / ps_s, 0.0)
+    # pe clamp: gradient flows only when pe above the floor
+    pe_live = (pe > 1e-12 * ps_s).astype(jnp.float32)
+    dp_dpe = jnp.where(ok, p_at * frac / pe_s, 0.0) * pe_live
+    return p_at, dp_dps, dp_dpe
+
+
+def _bwd_rays_kernel(scalars_ref, rays_ref, beams_ref, ct_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    q = _pair_quantities(scalars_ref, rays_ref, beams_ref)
+    r_row, b_col = q["r_row"], q["b_col"]
+    w0 = q["base"] * q["rho"] * q["k1"]  # (C,T) scalar weight
+
+    d_g = jnp.zeros_like(q["frac_b"])
+    d_camr = jnp.zeros_like(q["frac_b"])
+    for ch in range(3):
+        ct_ch = ct_ref[0, ch : ch + 1, :]  # (1,T)
+        sig = r_row(RF_SIGS + ch)
+        trf = jnp.maximum(r_row(RF_TR + ch), 1e-30)
+        trf_live = (r_row(RF_TR + ch) > 1e-30).astype(jnp.float32)
+        tr_cam = jnp.exp(q["frac_c"] * jnp.log(trf))
+        p_at, _, _ = _interp_terms(b_col(BF_PS + ch), b_col(BF_PE + ch), q["frac_b"])
+        A = w0 * p_at * tr_cam  # (C,T)
+        # d sigma_s_ch
+        out_ref[0, DR_SIGS + ch, :] += (ct_ch * jnp.sum(A, 0, keepdims=True))[0]
+        # d tr_full_ch: tr_cam' = tr_cam * frac_c / trf
+        dtr = jnp.sum(w0 * p_at * tr_cam * q["frac_c"], 0, keepdims=True) / trf
+        out_ref[0, DR_TR + ch, :] += (ct_ch * sig * dtr * trf_live)[0]
+        # accumulate shared sums for g and cam_radius
+        d_g = d_g + ct_ch * sig * (q["base"] * q["k1"] * q["drho_dg"]) * p_at * tr_cam
+        d_camr = d_camr + ct_ch * sig * (q["base"] * q["rho"] * q["dk1_dw"]) * p_at * tr_cam
+    out_ref[0, DR_G, :] += jnp.sum(d_g, 0)
+    out_ref[0, DR_CAMR, :] += jnp.sum(d_camr, 0)
+
+
+def _bwd_beams_kernel(scalars_ref, rays_ref, beams_ref, ct_ref, out_ref):
+    i = pl.program_id(1)  # ray-tile axis is the FAST axis in this kernel
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    q = _pair_quantities(scalars_ref, rays_ref, beams_ref)
+    r_row, b_col = q["r_row"], q["b_col"]
+    w0 = q["base"] * q["rho"] * q["k1"]
+
+    d_rad = jnp.zeros_like(q["frac_b"][:, 0:1])
+    for ch in range(3):
+        ct_ch = ct_ref[0, ch : ch + 1, :]
+        sig = r_row(RF_SIGS + ch)
+        trf = jnp.maximum(r_row(RF_TR + ch), 1e-30)
+        tr_cam = jnp.exp(q["frac_c"] * jnp.log(trf))
+        p_at, dp_dps, dp_dpe = _interp_terms(
+            b_col(BF_PS + ch), b_col(BF_PE + ch), q["frac_b"]
+        )
+        coef = ct_ch * sig * w0 * tr_cam  # (C,T)
+        out_ref[0, :, BF_PS + ch] += jnp.sum(coef * dp_dps, 1)
+        out_ref[0, :, BF_PE + ch] += jnp.sum(coef * dp_dpe, 1)
+        d_rad = d_rad + jnp.sum(
+            ct_ch * sig * q["base"] * q["rho"] * q["dk1_dw"] * p_at * tr_cam,
+            1, keepdims=True,
+        )
+    out_ref[0, :, BF_RAD] += d_rad[:, 0]
+
+
+def pallas_gather_backward(rays_packed, beams_packed, scalars, ct_packed,
+                           tile: int, chunk: int):
+    """Returns (d_rays (n_tiles, 8, T), d_beams (n_chunks, C, NB)).
+
+    ct_packed: (n_tiles, 8, T) output cotangents (channels rows 0..2).
+    """
+    n_tiles = rays_packed.shape[0]
+    n_chunks = beams_packed.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    d_rays = pl.pallas_call(
+        _bwd_rays_kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NF, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, NB), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, tile), jnp.float32),
+        interpret=interpret,
+    )(scalars, rays_packed, beams_packed, ct_packed)
+    d_beams = pl.pallas_call(
+        _bwd_beams_kernel,
+        grid=(n_chunks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, chunk, NB), jnp.float32),
+        interpret=interpret,
+    )(scalars, rays_packed, beams_packed, ct_packed)
+    return d_rays, d_beams

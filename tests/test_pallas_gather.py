@@ -65,3 +65,29 @@ def test_pallas_backward_is_xla_recompute():
     # never calls the kernel)
     g_p = jax.grad(lambda ps: loss(ps, "pallas"))(beams.power_start)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-6)
+
+
+def test_pallas_bwd_kernels_match_xla(monkeypatch):
+    """Opt-in analytic Pallas backward == XLA recompute backward
+    (grad_geometry=False)."""
+    from bre_tpu.accel import beam_gather as bg
+
+    beams, media, a0, a1, sd, med, trf = _setup(B=512, R=256)
+    W = jnp.asarray(np.random.RandomState(5).rand(256, 3), jnp.float32)
+
+    def loss(ps, pe, rad, trf_):
+        bb = beams._replace(power_start=ps, power_end=pe, radius=rad)
+        out = gather_beams_bruteforce(
+            bb, media, a0, a1, sd, med, trf_, jnp.float32(0.2),
+            kernel=KERNEL_BRE, chunk=256, power_scale=1e-3, backend="pallas",
+            grad_geometry=False,
+        )
+        return jnp.sum(out * W)
+
+    args = (beams.power_start, beams.power_end, beams.radius, trf)
+    gx = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    monkeypatch.setattr(bg, "PALLAS_BWD_ENABLED", True)
+    gp = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    for x, p in zip(gx, gp):
+        x, p = np.asarray(x), np.asarray(p)
+        assert np.abs(x - p).max() <= 2e-4 * (np.abs(x).max() + 1e-9)
