@@ -102,6 +102,29 @@ def main(argv=None) -> int:
         cfg = VolPathConfig(maxdepth=geti("maxdepth", 5), spp=max(1, spp // quick))
         img = render_volpath(scene, ps.camera, ps.width, ps.height, cfg)
         stats = {}
+    elif name == "bdpt":
+        from .integrators.bdpt import BDPTConfig, render_bdpt
+
+        spp = 16
+        if isinstance(ps.sampler_params.get("pixelsamples"), (int, float, list)):
+            v = ps.sampler_params["pixelsamples"]
+            spp = int(v[0] if isinstance(v, list) else v)
+        cfg = BDPTConfig(maxdepth=geti("maxdepth", 5), spp=max(1, spp // quick))
+        img = render_bdpt(scene, ps.camera, ps.width, ps.height, cfg)
+        stats = {}
+    elif name == "mlt":
+        from .integrators.mlt import MLTConfig, render_mlt
+
+        cfg = MLTConfig(
+            maxdepth=geti("maxdepth", 5),
+            bootstrapsamples=geti("bootstrapsamples", 4096) // quick,
+            chains=geti("chains", 256),
+            mutationsperpixel=max(1, geti("mutationsperpixel", 100) // quick),
+            largestepprobability=getf("largestepprobability", 0.3),
+            sigma=getf("sigma", 0.01),
+        )
+        img = render_mlt(scene, ps.camera, ps.width, ps.height, cfg)
+        stats = {}
     else:
         print(f"error: integrator '{name}' not supported yet", file=sys.stderr)
         return 1

@@ -204,16 +204,17 @@ def render_volpath(
 
     from ..core.samplers import camera_jitter
 
-    @partial(jax.jit, static_argnums=(1,))
-    def one_pass(sample_idx, sample_i):
+    @jax.jit
+    def one_pass(sample_idx):
+        # sample_idx is traced: one compile serves every spp pass
         pix_idx = jnp.arange(R, dtype=jnp.uint32)
-        rng = pcg32_init(jnp.uint32(sample_idx) * jnp.uint32(R) + pix_idx + jnp.uint32(0x9E37))
-        rng, j2 = camera_jitter(cfg.sampler, pix_idx, sample_i, cfg.spp, rng)
+        rng = pcg32_init(sample_idx * jnp.uint32(R) + pix_idx + jnp.uint32(0x9E37))
+        rng, j2 = camera_jitter(cfg.sampler, pix_idx, sample_idx, cfg.spp, rng)
         o, d = generate_rays(camera, pix + j2 - 0.5)
         _, L = _li_batch(scene, o, d, rng, cfg)
         return L
 
     acc = jnp.zeros((R, 3))
     for s in range(cfg.spp):
-        acc = acc + one_pass(jnp.uint32(s), s)
+        acc = acc + one_pass(jnp.uint32(s))
     return (acc / cfg.spp).reshape(height, width, 3)

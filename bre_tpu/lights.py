@@ -267,6 +267,8 @@ class LiSample(NamedTuple):
     pdf: jnp.ndarray  # (R,) solid-angle pdf
     dist: jnp.ndarray  # (R,) distance to light sample (for shadow ray)
     p_light: jnp.ndarray  # (R,3)
+    n_light: jnp.ndarray  # (R,3) light-sample normal (shape normal for area
+    # lights; emission direction for delta lights — pbrt's nLight convention)
 
 
 def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
@@ -281,7 +283,7 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
     if scene.n_lights == 0:  # static: no lights
         z3 = jnp.zeros((R, 3))
         return LiSample(wi=z3, Li=z3, pdf=jnp.zeros((R,)), dist=jnp.zeros((R,)),
-                        p_light=z3)
+                        p_light=z3, n_light=z3)
     li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
     ltype = L.ltype[li]
     pos = L.position[li]
@@ -358,9 +360,82 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
         dist=sel1(dist_point, dist_s, dist_dist, dist_inf),
         p_light=sel3(pos, p_sh, p_ref + wi_dist * dist_dist[:, None],
                      p_ref + wi_inf * dist_inf[:, None]),
+        n_light=sel3(-wi_point, n_sh, -wi_dist, -wi_inf),
     )
     # spot shares the point geometry with the cone falloff applied
     return out._replace(Li=jnp.where(is_spot[:, None], Li_spot, out.Li))
+
+
+def light_choice_pmf(scene: Scene) -> jnp.ndarray:
+    """Per-light discrete pick probability under the power distribution
+    (LightDistribution "power"; lightdistrib.cpp PowerLightDistribution)."""
+    p = luminance(light_power(scene))
+    total = jnp.sum(p)
+    n = scene.n_lights
+    return jnp.where(total > 0.0, p / jnp.maximum(total, 1e-30),
+                     jnp.full((n,), 1.0 / max(n, 1)))
+
+
+def pdf_le(scene: Scene, light_idx, n_light, w):
+    """Batched Light::Pdf_Le (light.h:72): (pdf_pos, pdf_dir) of emitting a
+    ray in direction w from a light sample whose shape normal is n_light.
+
+    Point (point.cpp:73-78): pos delta -> 0, dir uniform sphere.
+    Spot (spot.cpp:102-108): dir = uniform-cone pdf inside the cone else 0.
+    DiffuseArea (diffuse.cpp:127-134): pos 1/area, dir cosine-hemisphere
+    (halved for two-sided).  Distant (distant.cpp:87-92): pos 1/(pi r^2),
+    dir delta -> 0.  Infinite (constant env): dir uniform sphere, pos disk.
+    """
+    L = scene.lights
+    R = light_idx.shape[0]
+    if scene.n_lights == 0:
+        z = jnp.zeros((R,))
+        return z, z
+    li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
+    ltype = L.ltype[li]
+    diag = scene.world_max - scene.world_min
+    world_r2 = 0.25 * jnp.sum(diag * diag)
+
+    # per-shape area for area lights (mirrors light_power)
+    area = jnp.ones((R,), jnp.float32)
+    kind = L.shape_kind[li]
+    sidx = L.shape_index[li]
+    if scene.n_spheres > 0:
+        si = jnp.clip(sidx, 0, scene.n_spheres - 1)
+        area = jnp.where(kind == SHAPE_SPHERE,
+                         4.0 * PI * scene.spheres.radius[si] ** 2, area)
+    if scene.n_triangles > 0:
+        ti = jnp.clip(sidx, 0, scene.n_triangles - 1)
+        e1 = scene.triangles.p1[ti] - scene.triangles.p0[ti]
+        e2 = scene.triangles.p2[ti] - scene.triangles.p0[ti]
+        area = jnp.where(kind == SHAPE_TRIANGLE, 0.5 * length(cross(e1, e2)), area)
+
+    cos_l = dot(n_light, w)
+    two = L.two_sided[li] > 0
+    pdf_dir_area = jnp.where(two, 0.5, 1.0) * cosine_hemisphere_pdf(jnp.abs(cos_l))
+    pdf_dir_area = jnp.where(two | (cos_l > 0.0), pdf_dir_area, 0.0)
+
+    cos_w = L.cos_total_width[li]
+    cos_ax = dot(L.direction[li], w)
+    pdf_dir_spot = jnp.where(
+        cos_ax >= cos_w, 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_w), 1e-9), 0.0
+    )
+
+    is_pt = ltype == LIGHT_POINT
+    is_sp = ltype == LIGHT_SPOT
+    is_ar = ltype == LIGHT_DIFFUSE_AREA
+    is_di = ltype == LIGHT_DISTANT
+    pdf_pos = jnp.where(
+        is_ar, 1.0 / jnp.maximum(area, 1e-30),
+        jnp.where(is_pt | is_sp, 0.0, 1.0 / (PI * world_r2)),
+    )
+    pdf_dir = jnp.where(
+        is_pt, INV_4PI,
+        jnp.where(is_sp, pdf_dir_spot,
+                  jnp.where(is_ar, pdf_dir_area,
+                            jnp.where(is_di, 0.0, INV_4PI))),
+    )
+    return pdf_pos, pdf_dir
 
 
 def escaped_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:

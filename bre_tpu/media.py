@@ -231,17 +231,25 @@ def sample_grid(
 
 
 def sample_medium(
-    media: Media, med_idx, o, d, t_max, rng: PCG32State, max_steps: int = 256
+    media: Media, med_idx, o, d, t_max, rng: PCG32State, max_steps: int = 256,
+    u12=None,
 ):
     """Unified Medium::Sample over the tagged media table.
 
     Consumes exactly 2 PCG32 draws per lane (homogeneous channel+distance,
     matching homogeneous.cpp:55-58 sampler use) plus the grid tracking scan's
     draws for grid lanes.  Returns (rng, MediumSample, n_overflow).
+
+    ``u12``: optional (R,2) uniforms replacing the two PCG32 draws — used by
+    primary-sample-space callers (MLT) that route structural decisions
+    through a mutable sample vector (mlt.h MLTSampler streams).
     """
     sigma_a, sigma_s, g, is_grid, in_medium = gather_medium(media, med_idx)
-    rng, u1 = pcg32_next_f32(rng)
-    rng, u2 = pcg32_next_f32(rng)
+    if u12 is None:
+        rng, u1 = pcg32_next_f32(rng)
+        rng, u2 = pcg32_next_f32(rng)
+    else:
+        u1, u2 = u12[..., 0], u12[..., 1]
     hs = sample_homogeneous(sigma_a, sigma_s, d, t_max, u1, u2)
     # Static presence check: the density brick is (1,1,1) iff no grid medium.
     has_grid = media.density.size > 1

@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import transform as tfm
-from ..core.math import normalize
+from ..core.math import length, normalize
 from ..core.sampling import concentric_sample_disk
 
 CAMERA_PERSPECTIVE = 0
@@ -155,6 +155,82 @@ def generate_rays(
     o_w = tfm.apply_point(camera.camera_to_world, o)
     d_w = normalize(tfm.apply_vector(camera.camera_to_world, d))
     return o_w, d_w
+
+
+def _film_area_z1(camera: Camera, width: int, height: int) -> jnp.ndarray:
+    """Area of the film window projected to the z=1 camera-space plane.
+
+    PerspectiveCamera ctor (perspective.cpp:~55-65): transform the raster
+    corners to camera space, divide by z, A = |dx*dy|.
+    """
+    corners = jnp.array([[0.0, 0.0, 0.0], [float(width), float(height), 0.0]])
+    pc = tfm.apply_point(camera.raster_to_camera, corners)
+    pc = pc / pc[:, 2:3]
+    return jnp.abs((pc[1, 0] - pc[0, 0]) * (pc[1, 1] - pc[0, 1]))
+
+
+def camera_position(camera: Camera) -> jnp.ndarray:
+    """World-space pinhole position (camera-space origin)."""
+    return camera.camera_to_world[:3, 3]
+
+
+def pdf_we(camera: Camera, width: int, height: int, d_world: jnp.ndarray):
+    """PerspectiveCamera::Pdf_We (perspective.cpp:~190-230), batched.
+
+    d_world: (R,3) unit ray directions leaving the pinhole.  Returns
+    (pdf_pos, pdf_dir): positional pdf is a delta (pbrt returns 1 for the
+    pinhole lens) and directional pdf is 1/(A cos^3 theta) when the ray's
+    z=1 plane point lands inside the film window, else 0.
+    """
+    w2c = jnp.linalg.inv(camera.camera_to_world)
+    d_cam = normalize(d_world @ w2c[:3, :3].T)
+    cos_t = d_cam[:, 2]
+    ok = cos_t > 1e-6
+    p_focus = d_cam / jnp.where(ok, cos_t, 1.0)[:, None]
+    cam_to_raster = jnp.linalg.inv(camera.raster_to_camera)
+    p_raster = tfm.apply_point(cam_to_raster, p_focus)
+    inside = (
+        ok
+        & (p_raster[:, 0] >= 0.0) & (p_raster[:, 0] < width)
+        & (p_raster[:, 1] >= 0.0) & (p_raster[:, 1] < height)
+    )
+    A = _film_area_z1(camera, width, height)
+    pdf_dir = jnp.where(inside, 1.0 / (A * jnp.maximum(cos_t, 1e-6) ** 3), 0.0)
+    pdf_pos = jnp.where(inside, 1.0, 0.0)
+    return pdf_pos, pdf_dir
+
+
+def sample_wi(camera: Camera, width: int, height: int, p_ref: jnp.ndarray):
+    """PerspectiveCamera::Sample_Wi (perspective.cpp:~232-270), pinhole case.
+
+    Connects a scene point to the camera (BDPT t=1 strategy).  Returns
+    (wi, pdf, We, p_raster, dist): wi points from p_ref to the camera, pdf is
+    the delta-lens solid-angle pdf dist^2/cos(theta), We = 1/(A cos^4 theta)
+    for directions through the film window (zero outside).
+    """
+    R = p_ref.shape[0]
+    cam_p = camera_position(camera)
+    to_cam = cam_p - p_ref
+    dist = jnp.maximum(length(to_cam), 1e-12)
+    wi = to_cam / dist[:, None]
+    # importance of the ray leaving the camera toward p_ref
+    d_world = -wi
+    w2c = jnp.linalg.inv(camera.camera_to_world)
+    d_cam = normalize(d_world @ w2c[:3, :3].T)
+    cos_t = d_cam[:, 2]
+    ok = cos_t > 1e-6
+    p_focus = d_cam / jnp.where(ok, cos_t, 1.0)[:, None]
+    cam_to_raster = jnp.linalg.inv(camera.raster_to_camera)
+    p_raster = tfm.apply_point(cam_to_raster, p_focus)
+    inside = (
+        ok
+        & (p_raster[:, 0] >= 0.0) & (p_raster[:, 0] < width)
+        & (p_raster[:, 1] >= 0.0) & (p_raster[:, 1] < height)
+    )
+    A = _film_area_z1(camera, width, height)
+    We = jnp.where(inside, 1.0 / (A * jnp.maximum(cos_t, 1e-6) ** 4), 0.0)
+    pdf = jnp.where(inside, dist * dist / jnp.maximum(cos_t, 1e-6), 0.0)
+    return wi, pdf, We[:, None] * jnp.ones((R, 3)), p_raster[:, :2], dist
 
 
 def pixel_centers(width: int, height: int) -> jnp.ndarray:
