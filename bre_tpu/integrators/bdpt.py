@@ -62,8 +62,10 @@ from ..scene.camera import (
 from ..scene.intersect import intersect, intersect_p
 from ..scene.scene import (
     LIGHT_DISTANT,
+    LIGHT_GONIOMETRIC,
     LIGHT_INFINITE,
     LIGHT_POINT,
+    LIGHT_PROJECTION,
     LIGHT_SPOT,
     MAT_GLASS,
     MAT_MIRROR,
@@ -174,14 +176,16 @@ def _convert_density(pdf_dir, p_from, v_to_p, v_to_n, to_on_surface, to_infinite
 
 
 def _is_delta_light(scene: Scene, light_idx):
-    """IsDeltaLight (light.h:88-92): point/spot (DeltaPosition) + distant
-    (DeltaDirection)."""
+    """IsDeltaLight (light.h:88-92): point/spot/goniometric/projection
+    (DeltaPosition) + distant (DeltaDirection)."""
     if scene.n_lights == 0:
         return jnp.zeros(light_idx.shape, bool)
     li = jnp.clip(light_idx, 0, scene.n_lights - 1)
     lt = scene.lights.ltype[li]
     finite = light_idx >= 0
-    return finite & ((lt == LIGHT_POINT) | (lt == LIGHT_SPOT) | (lt == LIGHT_DISTANT))
+    return finite & ((lt == LIGHT_POINT) | (lt == LIGHT_SPOT)
+                     | (lt == LIGHT_GONIOMETRIC) | (lt == LIGHT_PROJECTION)
+                     | (lt == LIGHT_DISTANT))
 
 
 def _surface_connectible(scene: Scene, mat_idx):

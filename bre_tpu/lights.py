@@ -15,9 +15,11 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
-from .core.math import PI, INV_4PI, cross, dot, length, length_squared, normalize
+from .core.math import (PI, INV_2PI, INV_4PI, cross, dot, length,
+                        length_squared, normalize)
 from .core.sampling import (
     Distribution1D,
     cosine_hemisphere_pdf,
@@ -30,8 +32,10 @@ from .core.spectrum import luminance
 from .scene.scene import (
     LIGHT_DIFFUSE_AREA,
     LIGHT_DISTANT,
+    LIGHT_GONIOMETRIC,
     LIGHT_INFINITE,
     LIGHT_POINT,
+    LIGHT_PROJECTION,
     LIGHT_SPOT,
     SHAPE_SPHERE,
     SHAPE_TRIANGLE,
@@ -52,6 +56,62 @@ def _frame_from_z(z):
     from .core.math import coordinate_system
 
     return coordinate_system(z)
+
+
+def _light_map_bilerp(L, li, uv):
+    """Bilinear lookup in the light-image atlas (clamp rows, wrap columns) —
+    MIPMap::Lookup at level 0 for light maps (goniometric.cpp:49,
+    infinite.cpp Le/Sample_Li, projection.cpp:~60)."""
+    off = L.img_off[li]
+    w = jnp.maximum(L.img_w[li], 1)
+    h = jnp.maximum(L.img_h[li], 1)
+    s = uv[:, 0] * w.astype(jnp.float32) - 0.5
+    t = uv[:, 1] * h.astype(jnp.float32) - 0.5
+    s0 = jnp.floor(s).astype(jnp.int32)
+    t0 = jnp.floor(t).astype(jnp.int32)
+    ds = (s - s0)[:, None]
+    dt = (t - t0)[:, None]
+
+    def texel(si, tj):
+        x = jnp.mod(si, w)
+        y = jnp.clip(tj, 0, h - 1)
+        return L.atlas[jnp.maximum(off, 0) + y, x]
+
+    val = ((1 - ds) * (1 - dt) * texel(s0, t0)
+           + (1 - ds) * dt * texel(s0, t0 + 1)
+           + ds * (1 - dt) * texel(s0 + 1, t0)
+           + ds * dt * texel(s0 + 1, t0 + 1))
+    return jnp.where((L.img_off[li] >= 0)[:, None], val, 1.0)
+
+
+def _dir_to_equirect_uv(L, li, w_world):
+    """World direction -> (u,v) on the light's equirectangular map
+    (infinite.cpp Le: SphericalPhi/Theta of WorldToLight(dir))."""
+    rot = L.world_to_light[li][:, :3, :3]
+    wl = normalize(jnp.einsum("rij,rj->ri", rot, w_world))
+    theta = jnp.arccos(jnp.clip(wl[:, 2], -1.0, 1.0))
+    phi = jnp.arctan2(wl[:, 1], wl[:, 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+    return jnp.stack([phi * INV_2PI, theta * (1.0 / PI)], -1), theta
+
+
+def _projection_scale(L, li, w_world):
+    """Projected-texture factor for a projection light's emission direction
+    (projection.cpp Projection(): perspective divide into the slide window,
+    zero outside)."""
+    rot = L.world_to_light[li][:, :3, :3]
+    wl = jnp.einsum("rij,rj->ri", rot, w_world)
+    cos_f = L.cos_falloff_start[li]  # cos(fov/2): screen half-extent
+    tan_half = jnp.sqrt(jnp.maximum(1.0 - cos_f * cos_f, 1e-12)) / jnp.maximum(
+        cos_f, 1e-6)
+    z = wl[:, 2]
+    ok = z > 1e-6
+    sx = wl[:, 0] / jnp.where(ok, z, 1.0) / jnp.maximum(tan_half, 1e-6)
+    sy = wl[:, 1] / jnp.where(ok, z, 1.0) / jnp.maximum(tan_half, 1e-6)
+    inside = ok & (jnp.abs(sx) <= 1.0) & (jnp.abs(sy) <= 1.0)
+    uv = jnp.stack([sx * 0.5 + 0.5, sy * 0.5 + 0.5], -1)
+    val = _light_map_bilerp(L, li, uv)
+    return jnp.where(inside[:, None], val, 0.0)
 
 
 def light_power(scene: Scene) -> jnp.ndarray:
@@ -83,7 +143,11 @@ def light_power(scene: Scene) -> jnp.ndarray:
     p_spot = (2.0 * PI * (1.0 - 0.5 * (L.cos_falloff_start + L.cos_total_width)))[:, None] * L.emit
     p_area = (sides * area * PI)[:, None] * L.emit
     p_dist = (PI * world_r2) * L.emit
-    p_inf = (PI * world_r2) * L.emit
+    p_inf = (PI * world_r2) * L.emit * L.img_mean  # infinite.cpp Power: map avg
+    # goniometric.cpp Power: 4 pi I * map average; projection.cpp Power:
+    # I * map average over the frustum cone solid angle
+    p_gonio = 4.0 * PI * L.emit * L.img_mean
+    p_proj = (2.0 * PI * (1.0 - L.cos_total_width))[:, None] * L.emit * L.img_mean
     power = jnp.where(
         (L.ltype == LIGHT_POINT)[:, None],
         p_point,
@@ -93,7 +157,11 @@ def light_power(scene: Scene) -> jnp.ndarray:
             jnp.where(
                 (L.ltype == LIGHT_DIFFUSE_AREA)[:, None],
                 p_area,
-                jnp.where((L.ltype == LIGHT_DISTANT)[:, None], p_dist, p_inf),
+                jnp.where((L.ltype == LIGHT_DISTANT)[:, None], p_dist,
+                          jnp.where((L.ltype == LIGHT_GONIOMETRIC)[:, None],
+                                    p_gonio,
+                                    jnp.where((L.ltype == LIGHT_PROJECTION)[:, None],
+                                              p_proj, p_inf))),
             ),
         ),
     )
@@ -240,10 +308,19 @@ def sample_le(
     pdf_pos_inf = jnp.full((R,), 1.0) / (PI * world_r * world_r)
     pdf_dir_inf = jnp.full((R,), INV_4PI)
 
+    # goniometric / projection emission: point geometry, uniform-sphere
+    # direction, intensity scaled by the map in the emitted direction
+    # (goniometric.cpp Sample_Le; projection emission is zero outside the
+    # frustum — uniform-sphere sampling of it is unbiased, documented higher
+    # variance than pbrt's cone sampling)
+    point_geom = ((ltype == LIGHT_POINT) | (ltype == LIGHT_GONIOMETRIC)
+                  | (ltype == LIGHT_PROJECTION))
+
     def sel(pt, sp, ar, di, inf):
         m = lambda t: (ltype == t) if pt.ndim == 1 else (ltype == t)[:, None]
+        mp = point_geom if pt.ndim == 1 else point_geom[:, None]
         return jnp.where(
-            m(LIGHT_POINT), pt,
+            mp, pt,
             jnp.where(m(LIGHT_SPOT), sp,
                       jnp.where(m(LIGHT_DIFFUSE_AREA), ar,
                                 jnp.where(m(LIGHT_DISTANT), di, inf))),
@@ -255,6 +332,17 @@ def sample_le(
     pdf_pos = sel(pdf_pos_point, pdf_pos_point, pdf_area, pdf_pos_dist, pdf_pos_inf)
     pdf_dir = sel(pdf_dir_point, pdf_dir_spot, pdf_dir_area, pdf_dir_dist, pdf_dir_inf)
     Le_out = jnp.where((ltype == LIGHT_SPOT)[:, None], emit * spot_fall[:, None], emit)
+    uv_g, _ = _dir_to_equirect_uv(L, li, d_point)
+    Le_out = jnp.where((ltype == LIGHT_GONIOMETRIC)[:, None],
+                       emit * _light_map_bilerp(L, li, uv_g), Le_out)
+    Le_out = jnp.where((ltype == LIGHT_PROJECTION)[:, None],
+                       emit * _projection_scale(L, li, d_point), Le_out)
+    # env-map infinite light: radiance from the map in the travel direction
+    if scene.lights.env_func.shape[0] > 1:
+        uv_e, _ = _dir_to_equirect_uv(L, li, -d)
+        is_env = (li == scene.lights.env_light) & (ltype == LIGHT_INFINITE)
+        Le_out = jnp.where(is_env[:, None],
+                           emit * _light_map_bilerp(L, li, uv_e), Le_out)
     return LeSample(o=o, d=d, n_light=n_l, Le=Le_out, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
                     medium=medium)
 
@@ -324,13 +412,53 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
     pdf_dist = jnp.ones((R,))
     dist_dist = jnp.full((R,), 2.0) * world_r
 
-    # infinite constant env: uniform sphere direction
+    # goniometric / projection: point geometry with a map-scaled intensity
+    # (goniometric.cpp Sample_Li, projection.cpp Sample_Li)
+    uv_g, _ = _dir_to_equirect_uv(L, li, -wi_point)
+    Li_gonio = Li_point * _light_map_bilerp(L, li, uv_g)
+    Li_proj = Li_point * _projection_scale(L, li, -wi_point)
+
+    # infinite env: constant -> uniform sphere; image -> importance-sample
+    # the map's luminance Distribution2D (infinite.cpp Sample_Li:~120-150)
     wi_inf = uniform_sample_sphere(u)
     Li_inf = emit
     pdf_inf = jnp.full((R,), INV_4PI)
     dist_inf = jnp.full((R,), 2.0) * world_r
+    if scene.lights.env_func.shape[0] > 1:  # static: scene has an env map
+        He, We = scene.lights.env_func.shape
+        marg = scene.lights.env_marg_cdf
+        cond = scene.lights.env_cond_cdf
+        row = jnp.clip(jnp.searchsorted(marg, u[:, 1], side="right") - 1,
+                       0, He - 1)
+        dv = (u[:, 1] - marg[row]) / jnp.maximum(marg[row + 1] - marg[row],
+                                                 1e-30)
+        cond_r = cond[row]
+        col = jnp.clip(
+            jax.vmap(lambda cr, uu: jnp.searchsorted(cr, uu, side="right"))(
+                cond_r, u[:, 0]) - 1, 0, We - 1)
+        duu = (u[:, 0] - cond_r[jnp.arange(R), col]) / jnp.maximum(
+            cond_r[jnp.arange(R), col + 1] - cond_r[jnp.arange(R), col], 1e-30)
+        v_map = (row.astype(jnp.float32) + dv) / He
+        u_map = (col.astype(jnp.float32) + duu) / We
+        theta = v_map * PI
+        phi = u_map * 2.0 * PI
+        sin_t = jnp.sin(theta)
+        wl = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                        jnp.cos(theta)], -1)
+        # light -> world: inverse of the stored world_to_light rotation
+        rot = L.world_to_light[li][:, :3, :3]
+        wi_env = normalize(jnp.einsum("rji,rj->ri", rot, wl))
+        func_int = jnp.maximum(jnp.mean(scene.lights.env_func), 1e-30)
+        pdf_map = scene.lights.env_func[row, col] / func_int
+        pdf_env = pdf_map / jnp.maximum(2.0 * PI * PI * sin_t, 1e-30)
+        Li_env = emit * _light_map_bilerp(L, li, jnp.stack([u_map, v_map], -1))
+        is_env = li == scene.lights.env_light
+        wi_inf = jnp.where(is_env[:, None], wi_env, wi_inf)
+        Li_inf = jnp.where(is_env[:, None], Li_env, Li_inf)
+        pdf_inf = jnp.where(is_env, pdf_env, pdf_inf)
 
-    point_like = (ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT)
+    point_like = ((ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT)
+                  | (ltype == LIGHT_GONIOMETRIC) | (ltype == LIGHT_PROJECTION))
 
     def sel3(a, b, c, d_):
         return jnp.where(
@@ -362,8 +490,12 @@ def sample_li(scene: Scene, light_idx, p_ref, u) -> LiSample:
                      p_ref + wi_inf * dist_inf[:, None]),
         n_light=sel3(-wi_point, n_sh, -wi_dist, -wi_inf),
     )
-    # spot shares the point geometry with the cone falloff applied
-    return out._replace(Li=jnp.where(is_spot[:, None], Li_spot, out.Li))
+    # spot/goniometric/projection share the point geometry with their
+    # direction-dependent intensity factors applied
+    Li2 = jnp.where(is_spot[:, None], Li_spot, out.Li)
+    Li2 = jnp.where((ltype == LIGHT_GONIOMETRIC)[:, None], Li_gonio, Li2)
+    Li2 = jnp.where((ltype == LIGHT_PROJECTION)[:, None], Li_proj, Li2)
+    return out._replace(Li=Li2)
 
 
 def light_choice_pmf(scene: Scene) -> jnp.ndarray:
@@ -421,7 +553,8 @@ def pdf_le(scene: Scene, light_idx, n_light, w):
         cos_ax >= cos_w, 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_w), 1e-9), 0.0
     )
 
-    is_pt = ltype == LIGHT_POINT
+    is_pt = ((ltype == LIGHT_POINT) | (ltype == LIGHT_GONIOMETRIC)
+             | (ltype == LIGHT_PROJECTION))  # delta-position, sphere-sampled
     is_sp = ltype == LIGHT_SPOT
     is_ar = ltype == LIGHT_DIFFUSE_AREA
     is_di = ltype == LIGHT_DISTANT
@@ -440,13 +573,23 @@ def pdf_le(scene: Scene, light_idx, n_light, w):
 
 def escaped_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
     """Sum of Light::Le(ray) over infinite lights for escaped rays
-    (light.h:75 default 0; infinite.cpp:~Le). d: (R,3) -> (R,3)."""
+    (light.h:75 default 0; infinite.cpp Le: map lookup at the ray direction's
+    equirect coords). d: (R,3) -> (R,3)."""
     L = scene.lights
     if scene.n_lights == 0:
         return jnp.zeros(d.shape[:-1] + (3,))
-    mask = (L.ltype == LIGHT_INFINITE).astype(jnp.float32)
-    total = jnp.sum(L.emit * mask[:, None], axis=0)
-    return jnp.broadcast_to(total, d.shape[:-1] + (3,))
+    has_env = L.env_func.shape[0] > 1  # static: scene carries an env map
+    mask = (L.ltype == LIGHT_INFINITE)
+    if has_env:
+        mask = mask & (jnp.arange(L.ltype.shape[0]) != L.env_light)
+    total = jnp.sum(L.emit * mask.astype(jnp.float32)[:, None], axis=0)
+    out = jnp.broadcast_to(total, d.shape[:-1] + (3,))
+    if has_env:
+        env_li = jnp.maximum(L.env_light, 0)
+        li = jnp.full((d.shape[0],), env_li, jnp.int32)
+        uv, _ = _dir_to_equirect_uv(L, li, d)
+        out = out + L.emit[env_li] * _light_map_bilerp(L, li, uv)
+    return out
 
 
 def area_light_emitted(scene: Scene, area_light_idx, n, wo) -> jnp.ndarray:

@@ -31,8 +31,10 @@ from ..textures import (
 from .scene import (
     LIGHT_DIFFUSE_AREA,
     LIGHT_DISTANT,
+    LIGHT_GONIOMETRIC,
     LIGHT_INFINITE,
     LIGHT_POINT,
+    LIGHT_PROJECTION,
     LIGHT_SPOT,
     MAT_GLASS,
     MAT_MATTE,
@@ -73,6 +75,8 @@ class SceneBuilder:
         self._grid_world_to_medium: Optional[np.ndarray] = None
         self._grid_medium_index = -1
         self._tex: List[dict] = []
+        self._images: List[list] = []  # MIPMap pyramids for imagemap textures
+        self._light_images: List[list] = []  # pyramids for image-backed lights
         self.camera_medium = -1
 
     # --- materials (reference src/materials/*.cpp) ---
@@ -122,10 +126,27 @@ class SceneBuilder:
 
     # --- textures (reference src/textures/*; bre_tpu/textures.py) ---
     def _add_tex(self, ttype, c0=(1, 1, 1), c1=(0, 0, 0), scale=1.0,
-                 octaves=6, omega=0.5) -> int:
+                 octaves=6, omega=0.5, img=-1, uv_scale=(1.0, 1.0),
+                 uv_delta=(0.0, 0.0)) -> int:
         self._tex.append(dict(ttype=ttype, c0=_rgb(c0), c1=_rgb(c1),
-                              scale=scale, octaves=octaves, omega=omega))
+                              scale=scale, octaves=octaves, omega=omega,
+                              img=img,
+                              uv_scale=np.asarray(uv_scale, np.float32),
+                              uv_delta=np.asarray(uv_delta, np.float32)))
         return len(self._tex) - 1
+
+    def tex_imagemap(self, image, scale=(1, 1, 1), uscale=1.0, vscale=1.0,
+                     udelta=0.0, vdelta=0.0) -> int:
+        """Image-map texture with a MIPMap pyramid (src/textures/imagemap.cpp,
+        src/core/mipmap.h).  ``image``: (H, W, 3) or (H, W) array."""
+        from ..textures import build_pyramid
+
+        self._images.append(build_pyramid(np.asarray(image, np.float32)))
+        from ..textures import TEX_IMAGE
+
+        return self._add_tex(TEX_IMAGE, c0=scale, img=len(self._images) - 1,
+                             uv_scale=(uscale, vscale),
+                             uv_delta=(udelta, vdelta))
 
     def tex_constant(self, c) -> int:
         return self._add_tex(TEX_CONSTANT, c)
@@ -365,10 +386,55 @@ class SceneBuilder:
     def _add_light(self, **kw) -> int:
         base = dict(shape_kind=-1, shape_index=-1, two_sided=0, medium=-1,
                     cos_falloff_start=1.0, cos_total_width=1.0,
-                    direction=np.zeros(3, np.float32))
+                    direction=np.zeros(3, np.float32), img=-1,
+                    world_to_light=np.eye(4, dtype=np.float32))
         base.update(kw)
         self._light.append(base)
         return len(self._light) - 1
+
+    def _add_light_image(self, image) -> int:
+        from ..textures import build_pyramid
+
+        self._light_images.append(build_pyramid(np.asarray(image, np.float32)))
+        return len(self._light_images) - 1
+
+    def goniometric_light(self, position=(0, 0, 0), intensity=(1, 1, 1),
+                          image=None, world_to_light=None,
+                          medium: int = -1) -> int:
+        """Goniophotometric point light (src/lights/goniometric.cpp): intensity
+        scaled by an angular image map indexed by spherical coords of the
+        emitted direction in light space."""
+        img = self._add_light_image(image) if image is not None else -1
+        w2l = (np.asarray(world_to_light, np.float32)
+               if world_to_light is not None else np.eye(4, dtype=np.float32))
+        return self._add_light(ltype=LIGHT_GONIOMETRIC, position=_rgb(position),
+                               emit=_rgb(intensity), medium=medium, img=img,
+                               world_to_light=w2l)
+
+    def projection_light(self, position=(0, 0, 0), intensity=(1, 1, 1),
+                         image=None, fov=45.0, target=(0, 0, 1),
+                         medium: int = -1) -> int:
+        """Slide-projector light (src/lights/projection.cpp): point light
+        emitting the image through a perspective frustum of the given fov
+        toward ``target``; zero outside the frustum."""
+        img = self._add_light_image(image) if image is not None else -1
+        w = _rgb(target) - _rgb(position)
+        w = w / max(np.linalg.norm(w), 1e-9)
+        # light space: +z along the projection axis; pick a non-parallel up
+        from ..core import transform as tfm
+
+        up = (0.0, 1.0, 0.0) if abs(float(w[1])) < 0.99 else (1.0, 0.0, 0.0)
+        l2w = np.asarray(tfm.look_at(_rgb(position), _rgb(position) + w, up),
+                         np.float32)
+        w2l = np.linalg.inv(l2w).astype(np.float32)
+        # the frustum's corner cone bound (projection.cpp cosTotalWidth)
+        half_d = np.deg2rad(fov) * 0.5
+        cos_total = float(np.cos(np.arctan(np.tan(half_d) * np.sqrt(2.0))))
+        return self._add_light(ltype=LIGHT_PROJECTION, position=_rgb(position),
+                               direction=w, emit=_rgb(intensity),
+                               medium=medium, img=img, world_to_light=w2l,
+                               cos_total_width=cos_total,
+                               cos_falloff_start=float(np.cos(half_d)))
 
     def point_light(self, position=(0, 0, 0), intensity=(1, 1, 1), medium: int = -1) -> int:
         return self._add_light(ltype=LIGHT_POINT, position=_rgb(position),
@@ -392,11 +458,18 @@ class SceneBuilder:
         return self._add_light(ltype=LIGHT_DISTANT, position=np.zeros(3, np.float32),
                                direction=w, emit=_rgb(radiance))
 
-    def infinite_light(self, radiance=(1, 1, 1)) -> int:
-        """Constant environment light (src/lights/infinite.cpp, constant L)."""
+    def infinite_light(self, radiance=(1, 1, 1), image=None,
+                       world_to_light=None) -> int:
+        """Environment light (src/lights/infinite.cpp): constant L, or an
+        equirectangular radiance map (importance-sampled via the map's 2D
+        luminance distribution, infinite.cpp:~50-70 Distribution2D build)."""
+        img = self._add_light_image(image) if image is not None else -1
+        w2l = (np.asarray(world_to_light, np.float32)
+               if world_to_light is not None else np.eye(4, dtype=np.float32))
         return self._add_light(ltype=LIGHT_INFINITE,
                                position=np.zeros(3, np.float32),
-                               emit=_rgb(radiance))
+                               emit=_rgb(radiance), img=img,
+                               world_to_light=w2l)
 
     def area_light_sphere(self, center, radius, radiance, material: int = -1,
                           two_sided=False, medium: int = -1, medium_inside: int = -1) -> int:
@@ -469,6 +542,21 @@ class SceneBuilder:
             metal_k=stack(self._mat, "metal_k"),
             kd_tex=col(self._mat, "kd_tex"),
         )
+        from ..textures import pack_atlas
+
+        atlas_np, img_offs = pack_atlas(self._images)
+        n_tex = len(self._tex)
+        t_off = np.full(n_tex, -1, np.int32)
+        t_w = np.zeros(n_tex, np.int32)
+        t_h = np.zeros(n_tex, np.int32)
+        t_nl = np.zeros(n_tex, np.int32)
+        for i, t in enumerate(self._tex):
+            img = t.get("img", -1)
+            if img >= 0:
+                py = self._images[img]
+                t_off[i] = img_offs[img]
+                t_h[i], t_w[i] = py[0].shape[:2]
+                t_nl[i] = len(py)
         textures = Textures(
             ttype=col(self._tex, "ttype"),
             c0=stack(self._tex, "c0"),
@@ -476,7 +564,53 @@ class SceneBuilder:
             scale=col(self._tex, "scale", np.float32),
             octaves=col(self._tex, "octaves"),
             omega=col(self._tex, "omega", np.float32),
+            img_off=jnp.asarray(t_off),
+            img_w=jnp.asarray(t_w),
+            img_h=jnp.asarray(t_h),
+            n_levels=jnp.asarray(t_nl),
+            uv_scale=stack(self._tex, "uv_scale") if self._tex else jnp.zeros((0, 2)),
+            uv_delta=stack(self._tex, "uv_delta") if self._tex else jnp.zeros((0, 2)),
+            atlas=jnp.asarray(atlas_np),
         )
+        l_atlas_np, l_offs = pack_atlas(self._light_images)
+        n_l = len(self._light)
+        l_off = np.full(n_l, -1, np.int32)
+        l_w = np.zeros(n_l, np.int32)
+        l_h = np.zeros(n_l, np.int32)
+        l_mean = np.ones((n_l, 3), np.float32)
+        env_light = -1
+        for i, l in enumerate(self._light):
+            img = l.get("img", -1)
+            if img >= 0:
+                py = self._light_images[img]
+                l_off[i] = l_offs[img]
+                l_h[i], l_w[i] = py[0].shape[:2]
+                l_mean[i] = py[0].reshape(-1, 3).mean(0)
+                if l["ltype"] == LIGHT_INFINITE:
+                    env_light = i
+        # env-map importance distribution (infinite.cpp ctor: Distribution2D
+        # over luminance * sin(theta))
+        if env_light >= 0:
+            env0 = self._light_images[self._light[env_light]["img"]][0]
+            lum = env0 @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+            He, We = lum.shape
+            sin_t = np.sin(np.pi * (np.arange(He) + 0.5) / He).astype(np.float32)
+            func = np.maximum(lum * sin_t[:, None], 0.0).astype(np.float32)
+            row_int = func.mean(axis=1)  # per-row integral (unnormalized)
+            cond = np.concatenate(
+                [np.zeros((He, 1), np.float32), np.cumsum(func, axis=1) / We], 1)
+            cond = cond / np.maximum(row_int[:, None], 1e-30)
+            marg = np.concatenate(
+                [np.zeros(1, np.float32), np.cumsum(row_int) / He])
+            marg_int = marg[-1]
+            marg = marg / max(marg_int, 1e-30)
+            env_func = jnp.asarray(func)
+            env_marg_cdf = jnp.asarray(marg.astype(np.float32))
+            env_cond_cdf = jnp.asarray(cond.astype(np.float32))
+        else:
+            env_func = jnp.zeros((1, 1))
+            env_marg_cdf = jnp.zeros((2,))
+            env_cond_cdf = jnp.zeros((1, 2))
         lights = Lights(
             ltype=col(self._light, "ltype"),
             position=stack(self._light, "position"),
@@ -488,6 +622,17 @@ class SceneBuilder:
             medium=col(self._light, "medium"),
             cos_falloff_start=col(self._light, "cos_falloff_start", np.float32),
             cos_total_width=col(self._light, "cos_total_width", np.float32),
+            img_off=jnp.asarray(l_off),
+            img_w=jnp.asarray(l_w),
+            img_h=jnp.asarray(l_h),
+            img_mean=jnp.asarray(l_mean),
+            world_to_light=(stack(self._light, "world_to_light")
+                            if self._light else jnp.zeros((0, 4, 4))),
+            atlas=jnp.asarray(l_atlas_np),
+            env_light=jnp.int32(env_light),
+            env_func=env_func,
+            env_marg_cdf=env_marg_cdf,
+            env_cond_cdf=env_cond_cdf,
         )
         density = (
             jnp.asarray(self._grid_density)

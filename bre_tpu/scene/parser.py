@@ -167,6 +167,22 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
     named_coords: Dict[str, np.ndarray] = {}
     named_materials: Dict[str, int] = {}
     named_media: Dict[str, int] = {}
+    named_textures: Dict[str, int] = {}
+
+    def load_map(params: Dict, key: str = "mapname"):
+        """Load an image referenced by a scene-file parameter (relative to the
+        including file, like pbrt's AbsolutePath handling in paramset.cpp)."""
+        fname = params.get(key, params.get("filename"))
+        if not isinstance(fname, str):
+            return None
+        from ..io.image import read_image
+
+        path = ts.include_dir / fname.strip('"')
+        try:
+            return np.asarray(read_image(str(path)), np.float32)
+        except Exception as e:  # missing file: warn, render without the map
+            warnings.warn(f"cannot read image map '{path}': {e}")
+            return None
 
     cam_to_world: Optional[np.ndarray] = None
     cam_params: Dict = {}
@@ -187,6 +203,10 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
 
     def make_material(mat_type: str, params: Dict) -> int:
         if mat_type == "matte":
+            kd = params.get("Kd")
+            if isinstance(kd, str):  # "texture Kd" "name" reference
+                return b.matte((1.0, 1.0, 1.0), _f(params, "sigma", 0.0),
+                               kd_tex=named_textures.get(kd.strip('"'), -1))
             return b.matte(_p3(params, "Kd", (0.5, 0.5, 0.5)), _f(params, "sigma", 0.0))
         if mat_type == "mirror":
             return b.mirror(_p3(params, "Kr", (0.9, 0.9, 0.9)))
@@ -306,10 +326,40 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
             name = ts.next().strip('"')
             gs.material = named_materials.get(name, -1)
         elif tok == "Texture":
-            ts.next()
-            ts.next()
-            ts.next()
-            parse_params(ts)
+            # Texture "name" "spectrum|float" "class" params  (api.cpp
+            # pbrtTexture -> MakeSpectrumTexture registry)
+            tname = ts.next().strip('"')
+            ts.next()  # value type (spectrum/float/color)
+            tclass = ts.next().strip('"')
+            p = parse_params(ts)
+            if tclass == "imagemap":
+                img = load_map(p, "filename")
+                if img is not None:
+                    named_textures[tname] = b.tex_imagemap(
+                        img,
+                        uscale=_f(p, "uscale", 1.0), vscale=_f(p, "vscale", 1.0),
+                        udelta=_f(p, "udelta", 0.0), vdelta=_f(p, "vdelta", 0.0))
+            elif tclass == "checkerboard":
+                named_textures[tname] = b.tex_checkerboard(
+                    _p3(p, "tex1", (1, 1, 1)), _p3(p, "tex2", (0, 0, 0)))
+            elif tclass == "constant":
+                named_textures[tname] = b.tex_constant(_p3(p, "value", (1, 1, 1)))
+            elif tclass == "fbm":
+                named_textures[tname] = b.tex_fbm(
+                    octaves=_i(p, "octaves", 8), omega=_f(p, "roughness", 0.5))
+            elif tclass == "wrinkled":
+                named_textures[tname] = b.tex_wrinkled(
+                    octaves=_i(p, "octaves", 8), omega=_f(p, "roughness", 0.5))
+            elif tclass == "marble":
+                named_textures[tname] = b.tex_marble(scale=_f(p, "scale", 1.0))
+            elif tclass == "windy":
+                named_textures[tname] = b.tex_windy()
+            elif tclass == "uv":
+                named_textures[tname] = b.tex_uv()
+            elif tclass == "dots":
+                named_textures[tname] = b.tex_dots()
+            else:
+                warnings.warn(f"texture class '{tclass}' unsupported")
         elif tok == "MakeNamedMedium":
             name = ts.next().strip('"')
             p = parse_params(ts)
@@ -358,7 +408,9 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 b.distant_light(to - from_, L)
             elif ltype == "infinite":
                 L = _p3(p, "L", (1, 1, 1)) * scale_
-                b.infinite_light(L)
+                img = load_map(p)
+                b.infinite_light(L, image=img,
+                                 world_to_light=np.linalg.inv(ctm))
             elif ltype == "spot":
                 I = _p3(p, "I", (1, 1, 1)) * scale_
                 from_ = xf_point(_p3(p, "from", (0, 0, 0)))
@@ -366,6 +418,18 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 b.spot_light(from_, to, I,
                              coneangle=_f(p, "coneangle", 30.0),
                              conedeltaangle=_f(p, "conedeltaangle", 5.0))
+            elif ltype == "goniometric":
+                I = _p3(p, "I", (1, 1, 1)) * scale_
+                b.goniometric_light(xf_point((0, 0, 0)), I, image=load_map(p),
+                                    world_to_light=np.linalg.inv(ctm),
+                                    medium=gs.outside_medium)
+            elif ltype == "projection":
+                I = _p3(p, "I", (1, 1, 1)) * scale_
+                from_ = xf_point((0, 0, 0))
+                to = xf_point((0, 0, 1))
+                b.projection_light(from_, I, image=load_map(p),
+                                   fov=_f(p, "fov", 45.0), target=to,
+                                   medium=gs.outside_medium)
             else:
                 warnings.warn(f"light '{ltype}' unsupported; treated as point")
                 b.point_light(xf_point((0, 0, 0)), _p3(p, "I", (1, 1, 1)))

@@ -39,6 +39,8 @@ LIGHT_DIFFUSE_AREA = 1  # src/lights/diffuse.cpp (over a scene shape)
 LIGHT_DISTANT = 2  # src/lights/distant.cpp
 LIGHT_INFINITE = 3  # src/lights/infinite.cpp
 LIGHT_SPOT = 4  # src/lights/spot.cpp
+LIGHT_GONIOMETRIC = 5  # src/lights/goniometric.cpp (point light x angular map)
+LIGHT_PROJECTION = 6  # src/lights/projection.cpp (point light x projected map)
 
 # Medium type tags (reference src/media/*)
 MEDIUM_VACUUM = -1
@@ -108,7 +110,21 @@ class Lights(NamedTuple):
     two_sided: jnp.ndarray  # (Nl,) int32 0/1 (area lights)
     medium: jnp.ndarray  # (Nl,) int32 medium the light sits in (-1 vacuum)
     cos_falloff_start: jnp.ndarray  # (Nl,) spot inner cone (spot.cpp)
-    cos_total_width: jnp.ndarray  # (Nl,) spot outer cone
+    cos_total_width: jnp.ndarray  # (Nl,) spot outer cone; projection fov cone
+    # image-backed lights (infinite env map / goniometric / projection):
+    # pyramids packed in a shared atlas exactly like Textures
+    img_off: jnp.ndarray  # (Nl,) int32 level-0 row offset (-1 = no image)
+    img_w: jnp.ndarray  # (Nl,) int32
+    img_h: jnp.ndarray  # (Nl,) int32
+    img_mean: jnp.ndarray  # (Nl,3) image average (1s when no image) — Power()
+    world_to_light: jnp.ndarray  # (Nl, 4, 4) orientation for the map lookup
+    atlas: jnp.ndarray  # (Ha, Wa, 3) light-image atlas ((1,1,3) if unused)
+    # env-map importance sampling (infinite.cpp Distribution2D over the map;
+    # one env-map light per scene, the common pbrt configuration):
+    env_light: jnp.ndarray  # () int32 light index or -1
+    env_func: jnp.ndarray  # (He, We) luminance * sin(theta)
+    env_marg_cdf: jnp.ndarray  # (He+1,)
+    env_cond_cdf: jnp.ndarray  # (He, We+1)
 
 
 class Media(NamedTuple):

@@ -30,6 +30,9 @@ TEX_WINDY = 6
 TEX_DOTS = 7
 TEX_SCALE = 8
 TEX_MIX = 9
+TEX_IMAGE = 10  # src/textures/imagemap.cpp + src/core/mipmap.h
+
+MAX_MIP_LEVELS = 12
 
 
 class Textures(NamedTuple):
@@ -39,13 +42,123 @@ class Textures(NamedTuple):
     scale: jnp.ndarray  # (Nt,) spatial frequency
     octaves: jnp.ndarray  # (Nt,) int32 (fbm/wrinkled/marble)
     omega: jnp.ndarray  # (Nt,) roughness (fbm)
+    # image maps (imagemap.cpp UVMapping2D + MIPMap pyramid in a shared atlas)
+    img_off: jnp.ndarray  # (Nt,) int32 level-0 row offset into atlas (-1 none)
+    img_w: jnp.ndarray  # (Nt,) int32 level-0 width
+    img_h: jnp.ndarray  # (Nt,) int32 level-0 height
+    n_levels: jnp.ndarray  # (Nt,) int32 pyramid depth
+    uv_scale: jnp.ndarray  # (Nt,2) (uscale, vscale)
+    uv_delta: jnp.ndarray  # (Nt,2) (udelta, vdelta)
+    atlas: jnp.ndarray  # (Ha, Wa, 3) packed level rows of all image textures
 
 
 def empty_textures() -> Textures:
     z3 = jnp.zeros((0, 3))
     z = jnp.zeros((0,))
-    return Textures(ttype=jnp.zeros((0,), jnp.int32), c0=z3, c1=z3, scale=z,
-                    octaves=jnp.zeros((0,), jnp.int32), omega=z)
+    zi = jnp.zeros((0,), jnp.int32)
+    return Textures(ttype=zi, c0=z3, c1=z3, scale=z,
+                    octaves=zi, omega=z,
+                    img_off=zi, img_w=zi, img_h=zi, n_levels=zi,
+                    uv_scale=jnp.zeros((0, 2)), uv_delta=jnp.zeros((0, 2)),
+                    atlas=jnp.zeros((1, 1, 3)))
+
+
+def build_pyramid(image: np.ndarray, max_levels: int = MAX_MIP_LEVELS):
+    """MIPMap pyramid by 2x2 box filtering (mipmap.h ctor; pbrt resamples to
+    powers of two with a Lanczos kernel — box on the native resolution is the
+    documented simplification).  Returns [level0, level1, ...] float32."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, -1)
+    levels = [img]
+    while (img.shape[0] > 1 or img.shape[1] > 1) and len(levels) < max_levels:
+        h, w = img.shape[:2]
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        img = img[: h2 * 2, : w2 * 2].reshape(h2, min(2, h), w2, min(2, w), 3)
+        img = img.mean(axis=(1, 3))
+        levels.append(img.astype(np.float32))
+    return levels
+
+
+def pack_atlas(pyramids):
+    """Stack every pyramid's levels as consecutive rows of one atlas.
+
+    Returns (atlas (Ha, Wa, 3), offsets: list of level-0 row offsets).
+    """
+    if not pyramids:
+        return np.zeros((1, 1, 3), np.float32), []
+    wa = max(lv.shape[1] for py in pyramids for lv in py)
+    rows = sum(lv.shape[0] for py in pyramids for lv in py)
+    atlas = np.zeros((rows, wa, 3), np.float32)
+    offs = []
+    r = 0
+    for py in pyramids:
+        offs.append(r)
+        for lv in py:
+            atlas[r:r + lv.shape[0], : lv.shape[1]] = lv
+            r += lv.shape[0]
+    return atlas, offs
+
+
+def _level_geometry(tex: Textures, ti, level):
+    """Row offset / size of a pyramid level (levels are stored consecutively
+    below level 0; widths/heights halve per level)."""
+    off0 = tex.img_off[ti]
+    w0 = tex.img_w[ti]
+    h0 = tex.img_h[ti]
+    acc = off0
+    off = off0
+    w = w0
+    h = h0
+    for l in range(MAX_MIP_LEVELS):
+        w_l = jnp.maximum(w0 >> l, 1)
+        h_l = jnp.maximum(h0 >> l, 1)
+        sel = level == l
+        off = jnp.where(sel, acc, off)
+        w = jnp.where(sel, w_l, w)
+        h = jnp.where(sel, h_l, h)
+        acc = acc + h_l
+    return off, w, h
+
+
+def _bilerp_level(tex: Textures, ti, uv, level):
+    """MIPMap::Triangle(level, st) (mipmap.h:~210): bilinear lookup with
+    repeat wrapping on one pyramid level."""
+    off, w, h = _level_geometry(tex, ti, level)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    s = uv[:, 0] * wf - 0.5
+    t = uv[:, 1] * hf - 0.5
+    s0 = jnp.floor(s).astype(jnp.int32)
+    t0 = jnp.floor(t).astype(jnp.int32)
+    ds = (s - s0)[:, None]
+    dt = (t - t0)[:, None]
+
+    def texel(si, tj):
+        x = jnp.mod(si, jnp.maximum(w, 1))
+        y = jnp.mod(tj, jnp.maximum(h, 1))
+        return tex.atlas[off + y, x]
+
+    return ((1 - ds) * (1 - dt) * texel(s0, t0)
+            + (1 - ds) * dt * texel(s0, t0 + 1)
+            + ds * (1 - dt) * texel(s0 + 1, t0)
+            + ds * dt * texel(s0 + 1, t0 + 1))
+
+
+def image_lookup(tex: Textures, ti, uv, lod=None):
+    """MIPMap::Lookup (trilinear between levels when ``lod`` given,
+    mipmap.h:~180-220).  uv: (R,2) raw surface uv; applies the texture's
+    (uscale, vscale, udelta, vdelta) mapping (imagemap.cpp UVMapping2D)."""
+    st = uv * tex.uv_scale[ti] + tex.uv_delta[ti]
+    if lod is None:
+        return _bilerp_level(tex, ti, st, jnp.zeros_like(ti))
+    nl = jnp.maximum(tex.n_levels[ti], 1)
+    lod = jnp.clip(lod, 0.0, (nl - 1).astype(jnp.float32))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, nl - 1)
+    f = (lod - l0.astype(jnp.float32))[:, None]
+    return (1 - f) * _bilerp_level(tex, ti, st, l0) + f * _bilerp_level(
+        tex, ti, st, l1)
 
 
 # ---------------------------------------------------------------------------
@@ -172,4 +285,11 @@ def eval_texture(tex: Textures, tex_idx: jnp.ndarray, p: jnp.ndarray,
     out = jnp.where((tt == TEX_SCALE)[:, None], c0 * c1, out)
     out = jnp.where((tt == TEX_MIX)[:, None],
                     c0 * (1.0 - s[:, None]) + c1 * s[:, None], out)
+    # image map (imagemap.cpp; MIPMap bilinear at level 0 — render paths
+    # without ray differentials; callers with a footprint pass lod to
+    # image_lookup directly).  Static guard: atlas is (1,1,3) iff no image
+    # texture exists in the scene.
+    if tex.atlas.shape[0] > 1:
+        img_col = image_lookup(tex, ti, uv)
+        out = jnp.where((tt == TEX_IMAGE)[:, None], c0 * img_col, out)
     return jnp.where((tex_idx >= 0)[:, None], out, 1.0)
