@@ -37,11 +37,13 @@ from .core.math import (
     reflect,
 )
 from .core.sampling import cosine_hemisphere_pdf, cosine_sample_hemisphere
+from .core.spectrum import luminance
 from .scene.scene import (
     MAT_GLASS,
     MAT_MATTE,
     MAT_METAL,
     MAT_MIRROR,
+    MAT_MIX,
     MAT_PLASTIC,
     MAT_SUBSTRATE,
     MAT_TRANSLUCENT,
@@ -186,6 +188,26 @@ def sample_bsdf(
         )
     has_mat = mat_idx >= 0
     mi = jnp.clip(mat_idx, 0, max(materials.mtype.shape[0] - 1, 0))
+
+    # --- mix material: one-sample sub-material selection (mixmat.cpp
+    # MixMaterial::ComputeScatteringFunctions scales both BSDFs; the
+    # one-sample estimator picks m1 with probability lum(amount) and
+    # reweights — unbiased for the blended BSDF) ---
+    is_mix = materials.mtype[mi] == MAT_MIX
+    amt = materials.mix_amount[mi]
+    p1 = jnp.clip(luminance(amt), 0.01, 0.99)
+    choose1 = u[:, 0] < p1
+    u0r = jnp.where(choose1, u[:, 0] / p1, (u[:, 0] - p1) / (1.0 - p1))
+    u = jnp.where(is_mix[:, None], jnp.stack([u0r, u[:, 1]], -1), u)
+    sub = jnp.where(choose1, materials.mix_m1[mi], materials.mix_m2[mi])
+    mi = jnp.where(is_mix, jnp.clip(sub, 0, materials.mtype.shape[0] - 1), mi)
+    mix_scale = jnp.where(
+        is_mix[:, None],
+        jnp.where(choose1[:, None], amt / p1[:, None],
+                  (1.0 - amt) / (1.0 - p1)[:, None]),
+        1.0,
+    )
+
     mtype = materials.mtype[mi]
     kd = _effective_kd(materials, mi, materials.kd[mi], textures, p, uv)
     ks = materials.ks[mi]
@@ -310,6 +332,7 @@ def sample_bsdf(
                (is_transl, pdf_transl)], pdf_matte)
     specular = is_mirror | is_glass
     lobe_ok = jnp.where(is_metal, mf_up, jnp.where(is_plastic, up_p, True))
+    f = f * mix_scale
     valid = has_mat & lobe_ok & (pdf > 0.0) & (jnp.sum(jnp.abs(f), -1) > 0.0)
     return BSDFSample(wi=wi, f=f, pdf=pdf, specular=specular, valid=valid)
 
@@ -319,9 +342,31 @@ def eval_bsdf(materials: Materials, mat_idx, n, wo, wi, textures=None,
     """Batched BSDF::f + Pdf for non-specular lobes (reflection.cpp:617-637).
 
     Specular materials return (0, 0) as in pbrt (delta lobes never eval).
+    Mix materials blend both sub-materials' f and pdf (mixmat.cpp: scaled
+    BSDF stack).
     """
     if materials.mtype.shape[0] == 0:  # static: no materials in scene
         return jnp.zeros(mat_idx.shape + (3,)), jnp.zeros(mat_idx.shape)
+    mi0 = jnp.clip(mat_idx, 0, materials.mtype.shape[0] - 1)
+    is_mix = (mat_idx >= 0) & (materials.mtype[mi0] == MAT_MIX)
+    f, pdf = _eval_bsdf_base(materials, mat_idx, n, wo, wi, textures, p, uv)
+    # one level of sub-material indirection for mixes
+    amt = materials.mix_amount[mi0]
+    m1 = jnp.where(is_mix, materials.mix_m1[mi0], -1)
+    m2 = jnp.where(is_mix, materials.mix_m2[mi0], -1)
+    f1, pdf1 = _eval_bsdf_base(materials, m1, n, wo, wi, textures, p, uv)
+    f2, pdf2 = _eval_bsdf_base(materials, m2, n, wo, wi, textures, p, uv)
+    p1 = jnp.clip(luminance(amt), 0.01, 0.99)
+    f_mix = amt * f1 + (1.0 - amt) * f2
+    pdf_mix = p1 * pdf1 + (1.0 - p1) * pdf2
+    f = jnp.where(is_mix[:, None], f_mix, f)
+    pdf = jnp.where(is_mix, pdf_mix, pdf)
+    return f, pdf
+
+
+def _eval_bsdf_base(materials: Materials, mat_idx, n, wo, wi, textures=None,
+                    p: Optional[jnp.ndarray] = None,
+                    uv: Optional[jnp.ndarray] = None):
     has_mat = mat_idx >= 0
     mi = jnp.clip(mat_idx, 0, max(materials.mtype.shape[0] - 1, 0))
     mtype = materials.mtype[mi]

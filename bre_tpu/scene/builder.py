@@ -82,12 +82,24 @@ class SceneBuilder:
     # --- materials (reference src/materials/*.cpp) ---
     def _add_mat(self, mtype, kd, ks, eta=1.0, roughness=0.0,
                  metal_eta=(1.0, 1.0, 1.0), metal_k=(0.0, 0.0, 0.0),
-                 kd_tex=-1) -> int:
+                 kd_tex=-1, mix_m1=-1, mix_m2=-1,
+                 mix_amount=(0.5, 0.5, 0.5)) -> int:
         self._mat.append(dict(
             mtype=mtype, kd=_rgb(kd), ks=_rgb(ks), eta=eta, roughness=roughness,
             metal_eta=_rgb(metal_eta), metal_k=_rgb(metal_k), kd_tex=kd_tex,
+            mix_m1=mix_m1, mix_m2=mix_m2, mix_amount=_rgb(mix_amount),
         ))
         return len(self._mat) - 1
+
+    def mix(self, m1: int, m2: int, amount=(0.5, 0.5, 0.5)) -> int:
+        """MixMaterial (src/materials/mixmat.cpp): amount * m1 +
+        (1-amount) * m2.  One level of nesting (sub-materials must not
+        themselves be mixes — pbrt allows arbitrary nesting; single-level
+        covers the shipped scenes)."""
+        from .scene import MAT_MIX
+
+        return self._add_mat(MAT_MIX, kd=(0, 0, 0), ks=(0, 0, 0),
+                             mix_m1=m1, mix_m2=m2, mix_amount=amount)
 
     def matte(self, kd=(0.5, 0.5, 0.5), sigma=0.0, kd_tex=-1) -> int:
         return self._add_mat(MAT_MATTE, kd, (0, 0, 0), roughness=sigma, kd_tex=kd_tex)
@@ -541,6 +553,9 @@ class SceneBuilder:
             metal_eta=stack(self._mat, "metal_eta"),
             metal_k=stack(self._mat, "metal_k"),
             kd_tex=col(self._mat, "kd_tex"),
+            mix_m1=col(self._mat, "mix_m1"),
+            mix_m2=col(self._mat, "mix_m2"),
+            mix_amount=stack(self._mat, "mix_amount"),
         )
         from ..textures import pack_atlas
 

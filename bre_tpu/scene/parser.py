@@ -231,6 +231,15 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                                _f(params, "roughness", 0.1))
         if mat_type == "translucent":
             return b.translucent(_p3(params, "Kd", (0.25,) * 3))
+        if mat_type == "mix":
+            m1 = named_materials.get(
+                str(params.get("namedmaterial1", "")).strip('"'), -1)
+            m2 = named_materials.get(
+                str(params.get("namedmaterial2", "")).strip('"'), -1)
+            if m1 < 0 or m2 < 0:
+                warnings.warn("mix material needs namedmaterial1/2")
+                return b.matte()
+            return b.mix(m1, m2, _p3(params, "amount", (0.5,) * 3))
         if mat_type in ("", "none"):
             return -1
         warnings.warn(f"material '{mat_type}' not implemented; using matte")

@@ -32,6 +32,7 @@ MAT_PLASTIC = 4  # src/materials/plastic.cpp (lambert + GGX dielectric coat)
 MAT_UBER = 5  # src/materials/uber.cpp (treated as plastic: kd+ks)
 MAT_SUBSTRATE = 6  # src/materials/substrate.cpp (FresnelBlend)
 MAT_TRANSLUCENT = 7  # src/materials/translucent.cpp (two-sided lambert)
+MAT_MIX = 8  # src/materials/mixmat.cpp (blend of two sub-materials)
 
 # Light type tags (reference src/lights/*)
 LIGHT_POINT = 0  # src/lights/point.cpp
@@ -92,6 +93,9 @@ class Materials(NamedTuple):
     metal_eta: jnp.ndarray  # (Nm, 3) conductor eta
     metal_k: jnp.ndarray  # (Nm, 3) conductor absorption
     kd_tex: jnp.ndarray  # (Nm,) int32 texture index or -1
+    mix_m1: jnp.ndarray  # (Nm,) int32 first sub-material of a mix (-1)
+    mix_m2: jnp.ndarray  # (Nm,) int32 second sub-material of a mix (-1)
+    mix_amount: jnp.ndarray  # (Nm, 3) blend weight of m1 (mixmat.cpp amount)
 
 
 class Lights(NamedTuple):

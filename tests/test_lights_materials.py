@@ -143,3 +143,35 @@ def test_glass_refraction_direction_snell():
         mats, jnp.zeros((1,), jnp.int32), n, wo, jnp.array([[0.99, 0.0]])
     )
     np.testing.assert_allclose(np.asarray(bs.wi[0]), [0, 0, -1], atol=1e-5)
+
+
+def test_mix_material_blends_albedo():
+    """MixMaterial (src/materials/mixmat.cpp): 0.5 mix of matte(0.8) and
+    matte(0.2) behaves as matte(0.5) — sampled hemisphere albedo and eval."""
+    import jax.numpy as jnp
+    from bre_tpu.core.rng import pcg32_init, pcg32_next_f32
+    from bre_tpu.materials import eval_bsdf, sample_bsdf
+    from bre_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    ma = b.matte((0.8, 0.8, 0.8))
+    mb = b.matte((0.2, 0.2, 0.2))
+    mx = b.mix(ma, mb, (0.5, 0.5, 0.5))
+    b.sphere((0, 0, 0), 1.0, material=mx)
+    sc = b.build()
+    R = 20000
+    rng = pcg32_init(jnp.arange(R, dtype=jnp.uint32))
+    rng, u0 = pcg32_next_f32(rng)
+    rng, u1 = pcg32_next_f32(rng)
+    n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
+    mi = jnp.full((R,), mx, jnp.int32)
+    bs = sample_bsdf(sc.materials, mi, n, n, jnp.stack([u0, u1], -1))
+    cos_i = jnp.abs(bs.wi[:, 2])
+    refl = np.asarray(
+        jnp.where(bs.valid[:, None],
+                  bs.f * cos_i[:, None] / jnp.maximum(bs.pdf, 1e-9)[:, None],
+                  0.0)).mean(0)
+    np.testing.assert_allclose(refl, 0.5, atol=0.02)
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.6, 0.8]), (R, 3))
+    f, pdf = eval_bsdf(sc.materials, mi, n, n, wi)
+    np.testing.assert_allclose(np.asarray(f)[0], 0.5 / np.pi, rtol=1e-5)
