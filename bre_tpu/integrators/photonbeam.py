@@ -160,7 +160,7 @@ def camera_pass_by_pixels(
         tr_seg = segment_transmittance_det(scene, medium, o, d, t_seg)
 
         if cfg.rendermedia:
-            seg_valid = alive & h.valid
+            seg_valid = alive & h.valid & (medium >= 0)
             if use_lbvh:
                 # pad segments to a tile multiple with dead segments
                 tile = cfg.tile
@@ -181,20 +181,54 @@ def camera_pass_by_pixels(
                     power_scale=1.0 / float(photons_per_iter),
                 )[:R]
             else:
-                gathered = gather_beams_bruteforce(
-                    beams,
-                    scene.media,
-                    o,
-                    p_seg_end,
-                    d,
-                    medium,
-                    tr_seg,
-                    beam_radius,
-                    kernel=kern,
-                    chunk=cfg.gather_chunk,
-                    power_scale=1.0 / float(photons_per_iter),
-                    backend="pallas" if cfg.gather == "pallas" else "xla",
-                    grad_geometry=cfg.grad_geometry,
+                # Depth steps whose segments are all outside media (camera
+                # approaching the volume, post-exit bounces) contribute zero:
+                # a scalar lax.cond skips the whole rays x beams sweep at
+                # runtime — the dominant cost at bench scale, where only
+                # ~2 of maxdepth+2 unrolled steps have in-medium segments.
+                # (The reference's per-ray BVH query is naturally free for
+                # such rays, photonbeambvh.cpp:685; this is the batched
+                # equivalent.)
+                def _gather_rays(o_, e_, d_, med_, tr_):
+                    return gather_beams_bruteforce(
+                        beams,
+                        scene.media,
+                        o_,
+                        e_,
+                        d_,
+                        med_,
+                        tr_,
+                        beam_radius,
+                        kernel=kern,
+                        chunk=cfg.gather_chunk,
+                        power_scale=1.0 / float(photons_per_iter),
+                        backend="pallas" if cfg.gather == "pallas" else "xla",
+                        grad_geometry=cfg.grad_geometry,
+                    )
+
+                def _do_full(_):
+                    return _gather_rays(o, p_seg_end, d, medium, tr_seg)
+
+                # Post-bounce depths usually have only a few rays back inside
+                # the volume: compact the valid rays to the front (argsort is
+                # stable) and sweep a statically R/4-sized ray buffer instead
+                # of all R.  Exact — the full sweep runs whenever the count
+                # exceeds the budget.
+                R_small = max(256, R // 4)
+
+                def _do_small(_):
+                    order = jnp.argsort(~seg_valid)  # valid rays first
+                    take = order[:R_small]
+                    g = _gather_rays(o[take], p_seg_end[take], d[take],
+                                     medium[take], tr_seg[take])
+                    return jnp.zeros((R, 3)).at[take].set(g)
+
+                n_valid = jnp.sum(seg_valid)
+                gathered = jax.lax.cond(
+                    n_valid > 0,
+                    lambda _: jax.lax.cond(n_valid <= R_small, _do_small,
+                                           _do_full, None),
+                    lambda _: jnp.zeros((R, 3)), operand=None,
                 )
             if kern == KERNEL_COMPAT:
                 # reference adds raw kernel sum, no camera throughput
