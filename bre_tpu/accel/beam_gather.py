@@ -222,10 +222,21 @@ def _gather_core(cfg, pb: dict, seg: dict) -> jnp.ndarray:
 def _gather_forward(cfg, pb, seg):
     kernel, chunk, n_chunks, power_scale, min_sin, grad_geom = cfg
     R = seg["a0"].shape[0]
+    # beams arrive validity-compacted (valid first); chunks past n_valid are
+    # all dead — a scalar cond skips their pair sweep entirely.
+    n_valid = seg.get("n_valid_beams", jnp.float32(n_chunks * chunk))
 
     def body(acc, ci):
-        cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) for k, v in pb.items()}
-        return acc + _chunk_contrib(cb, seg, kernel, power_scale, min_sin, grad_geom), None
+        def live(_):
+            cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0)
+                  for k, v in pb.items()}
+            return _chunk_contrib(cb, seg, kernel, power_scale, min_sin, grad_geom)
+
+        add = jax.lax.cond(
+            (ci * chunk).astype(jnp.float32) < n_valid, live,
+            lambda _: jnp.zeros((R, 3)), operand=None,
+        )
+        return acc + add, None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((R, 3)), jnp.arange(n_chunks))
     return acc
@@ -244,15 +255,30 @@ def _gather_bwd(cfg, res, ct):
     ct_pb0 = jax.tree.map(jnp.zeros_like, pb)
     ct_seg0 = jax.tree.map(jnp.zeros_like, seg)
 
+    n_valid = seg.get("n_valid_beams", jnp.float32(n_chunks * chunk))
+
     def body(carry, ci):
         ct_pb, ct_seg = carry
-        cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) for k, v in pb.items()}
-        _, vjp_fn = jax.vjp(
-            lambda cb_, seg_: _chunk_contrib(cb_, seg_, kernel, power_scale, min_sin, grad_geom),
-            cb,
-            seg,
+
+        def live(_):
+            cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0)
+                  for k, v in pb.items()}
+            _, vjp_fn = jax.vjp(
+                lambda cb_, seg_: _chunk_contrib(cb_, seg_, kernel, power_scale,
+                                                 min_sin, grad_geom),
+                cb,
+                seg,
+            )
+            return vjp_fn(ct)
+
+        def dead(_):
+            z_cb = {k: jnp.zeros((chunk,) + v.shape[1:], v.dtype)
+                    for k, v in pb.items()}
+            return z_cb, jax.tree.map(jnp.zeros_like, seg)
+
+        d_cb, d_seg = jax.lax.cond(
+            (ci * chunk).astype(jnp.float32) < n_valid, live, dead, operand=None
         )
-        d_cb, d_seg = vjp_fn(ct)
         ct_pb = {
             k: jax.lax.dynamic_update_slice_in_dim(
                 v, jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0) + d_cb[k],
@@ -282,16 +308,19 @@ def _pallas_forward(cfg, pb, seg):
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {
-            k: (v if k == "cam_radius" else jnp.concatenate(
+            k: (v if k in ("cam_radius", "n_valid_beams") else jnp.concatenate(
                 [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0))
             for k, v in seg.items()
         }
     rays_packed = pack_rays(seg, tile)
     beams_packed = pack_beams(pb, chunk)
+    n_valid = seg.get("n_valid_beams",
+                      jnp.float32(pb["radius"].shape[0]))
     scalars = jnp.stack(
         [jnp.asarray(seg["cam_radius"], jnp.float32),
-         jnp.float32(power_scale), jnp.float32(min_sin)]
-    ).reshape(1, 3)
+         jnp.float32(power_scale), jnp.float32(min_sin),
+         jnp.asarray(n_valid, jnp.float32)]
+    ).reshape(1, 4)
     out = pallas_gather_forward(rays_packed, beams_packed, scalars, tile, chunk)
     # (n_tiles, 8, T) -> (R, 3)
     res = out[:, :3, :].transpose(0, 2, 1).reshape(R_pad, 3)
@@ -338,7 +367,7 @@ def _gather_bwd_pallas(cfg, res, ct):
     seg_p = seg
     if R_pad != R:
         seg_p = {
-            k: (v if k == "cam_radius" else jnp.concatenate(
+            k: (v if k in ("cam_radius", "n_valid_beams") else jnp.concatenate(
                 [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0))
             for k, v in seg.items()
         }
@@ -368,6 +397,7 @@ def _gather_bwd_pallas(cfg, res, ct):
         g=dr[:, DR_G],
         in_med_f=jnp.zeros((R,)),
         cam_radius=jnp.sum(dr[:, DR_CAMR]).reshape(()),
+        n_valid_beams=jnp.zeros(()),
     )
     db = d_beams.reshape(n_chunks * chunk, -1)
     Bp = pb["radius"].shape[0]
@@ -422,7 +452,16 @@ def gather_beams_bruteforce(
     n_chunks = max(1, -(-B // chunk))
     Bp = n_chunks * chunk
 
+    # Validity compaction: photon paths terminate early (RR, absorption), so
+    # typically only ~25% of beam slots are live.  A stable sort brings live
+    # beams to the front; dead whole chunks are then skipped at runtime by
+    # the n_valid scalar (fwd kernel and bwd recompute alike).  Cotangents
+    # flow back through the gather indices automatically.
+    order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+    n_valid_beams = jnp.sum(beams.valid).astype(jnp.float32)
+
     def pad(x):
+        x = x[order]
         return jnp.concatenate([x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
 
     pb = dict(
@@ -444,6 +483,7 @@ def gather_beams_bruteforce(
         g=g_seg,
         in_med_f=seg_in_med.astype(jnp.float32),
         cam_radius=jnp.broadcast_to(jnp.asarray(cam_radius, jnp.float32), ()),
+        n_valid_beams=n_valid_beams,
     )
     cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale),
            float(min_sin_theta), bool(grad_geometry))
@@ -459,7 +499,7 @@ def gather_beams_bruteforce(
 def _seg_slice(seg: dict, ti, tile: int) -> dict:
     out = {}
     for k, v in seg.items():
-        if k == "cam_radius":
+        if k in ("cam_radius", "n_valid_beams"):
             out[k] = v
         else:
             out[k] = jax.lax.dynamic_slice_in_dim(v, ti * tile, tile, 0)
@@ -526,7 +566,7 @@ def _gather_tiles_bwd(cfg, res, ct):
         d_pb, d_seg_t = vjp_fn(ct[ti])
         ct_pb = jax.tree.map(jnp.add, ct_pb, d_pb)
         for k in ct_seg:
-            if k == "cam_radius":
+            if k in ("cam_radius", "n_valid_beams"):
                 ct_seg[k] = ct_seg[k] + d_seg_t[k]
             else:
                 ct_seg = dict(ct_seg)

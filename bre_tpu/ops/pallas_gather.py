@@ -58,7 +58,7 @@ def _interp_power_k(ps, pe, frac):
     return jnp.where(ok, ps_s * jnp.exp(frac * jnp.log(pe_s / ps_s)), 0.0)
 
 
-def _gather_kernel(scalars_ref, rays_ref, beams_ref, out_ref):
+def _gather_kernel(scalars_ref, rays_ref, beams_ref, out_ref, *, chunk):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -68,7 +68,19 @@ def _gather_kernel(scalars_ref, rays_ref, beams_ref, out_ref):
     cam_radius = scalars_ref[0, 0]
     power_scale = scalars_ref[0, 1]
     min_sin = scalars_ref[0, 2]
+    n_valid = scalars_ref[0, 3]
 
+    # beams are validity-compacted: chunks wholly past n_valid are dead —
+    # skip the entire pair sweep (the batched form of the reference BVH
+    # query returning nothing, photonbeambvh.cpp:685)
+    @pl.when(jnp.float32(j * chunk) < n_valid)
+    def _compute():
+        _gather_body(scalars_ref, rays_ref, beams_ref, out_ref,
+                     cam_radius, power_scale, min_sin)
+
+
+def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref,
+                 cam_radius, power_scale, min_sin):
     r_row = lambda k: rays_ref[0, k : k + 1, :]  # (1,T)
     b_col = lambda k: beams_ref[0, :, k : k + 1]  # (C,1)
 
@@ -146,10 +158,10 @@ def pallas_gather_forward(
     n_chunks = beams_packed.shape[0]
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        _gather_kernel,
+        partial(_gather_kernel, chunk=chunk),
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, NF, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, NB), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
