@@ -430,6 +430,7 @@ def gather_beams_bruteforce(
     min_sin_theta: float = 0.05,
     backend: str = "xla",
     grad_geometry: bool = True,
+    assume_compacted: bool = False,
 ) -> jnp.ndarray:
     """Accumulate beam radiance onto R camera segments. Returns (R,3).
 
@@ -456,12 +457,18 @@ def gather_beams_bruteforce(
     # typically only ~25% of beam slots are live.  A stable sort brings live
     # beams to the front; dead whole chunks are then skipped at runtime by
     # the n_valid scalar (fwd kernel and bwd recompute alike).  Cotangents
-    # flow back through the gather indices automatically.
-    order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+    # flow back through the gather indices automatically.  Callers invoking
+    # the gather repeatedly (one per path-depth step) pre-sort once and pass
+    # assume_compacted=True (see compact_beams).
     n_valid_beams = jnp.sum(beams.valid).astype(jnp.float32)
+    if assume_compacted:
+        order = None
+    else:
+        order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
 
     def pad(x):
-        x = x[order]
+        if order is not None:
+            x = x[order]
         return jnp.concatenate([x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
 
     pb = dict(
@@ -637,6 +644,22 @@ def gather_beams_lbvh(
     cfg = (int(kernel), int(tile), int(n_tiles), int(K),
            float(power_scale), float(min_sin_theta))
     return _gather_tiles_core(cfg, pb, seg, jax.lax.stop_gradient(tile_cand))
+
+
+def compact_beams(beams):
+    """Sort a Beams SoA so valid beams come first (stable).  Do this once per
+    iteration, then call the gather with assume_compacted=True so each
+    path-depth step skips the re-sort."""
+    order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+    return beams._replace(
+        start=beams.start[order],
+        end=beams.end[order],
+        power_start=beams.power_start[order],
+        power_end=beams.power_end[order],
+        radius=beams.radius[order],
+        medium=beams.medium[order],
+        valid=beams.valid[order],
+    )
 
 
 def beam_aabbs(beams, extra_radius):

@@ -33,6 +33,7 @@ from ..accel.beam_gather import (
     KERNEL_BRE,
     KERNEL_COMPAT,
     beam_aabbs,
+    compact_beams,
     gather_beams_bruteforce,
     gather_beams_lbvh,
     tile_aabbs,
@@ -118,6 +119,9 @@ def camera_pass_by_pixels(
     if use_lbvh:
         bmin, bmax = beam_aabbs(beams, beam_radius)
         bvh = build_lbvh(bmin, bmax, beams.valid)
+    elif cfg.rendermedia:
+        # one validity sort serves every depth step's gather (compact_beams)
+        beams = compact_beams(beams)
     rng = pcg32_init(stream_ids)
 
     # camera ray with per-iteration jitter (reference: sampler-driven
@@ -204,6 +208,7 @@ def camera_pass_by_pixels(
                         power_scale=1.0 / float(photons_per_iter),
                         backend="pallas" if cfg.gather == "pallas" else "xla",
                         grad_geometry=cfg.grad_geometry,
+                        assume_compacted=True,
                     )
 
                 def _do_full(_):
