@@ -99,7 +99,12 @@ def main(argv=None) -> int:
         if isinstance(ps.sampler_params.get("pixelsamples"), (int, float, list)):
             v = ps.sampler_params["pixelsamples"]
             spp = int(v[0] if isinstance(v, list) else v)
-        cfg = VolPathConfig(maxdepth=geti("maxdepth", 5), spp=max(1, spp // quick))
+        known = ("random", "stratified", "02sequence", "sobol", "maxmindist",
+                 "halton")
+        cfg = VolPathConfig(
+            maxdepth=geti("maxdepth", 5), spp=max(1, spp // quick),
+            sampler=ps.sampler_name if ps.sampler_name in known else "random",
+        )
         img = render_volpath(scene, ps.camera, ps.width, ps.height, cfg)
         stats = {}
     elif name == "bdpt":

@@ -137,7 +137,17 @@ def camera_jitter(sampler: str, pixel_idx: jnp.ndarray, sample_idx,
     # per-pixel decorrelation scrambles from the pixel's PCG32 stream
     rng, s0 = pcg32_next_f32(rng)
     rng, s1 = pcg32_next_f32(rng)
-    if sampler in ("02sequence", "sobol", "maxmindist"):
+    if sampler == "sobol":
+        # true Sobol' matrices (core/sobol.py; dims 0-1 with per-pixel XOR
+        # scramble — sobol.cpp's sample-index path with bit scrambling)
+        from .sobol import sobol_sample
+
+        s_a = pcg32_init(pixel_idx)
+        s_a, bits0 = pcg32_next_u32(s_a)
+        s_a, bits1 = pcg32_next_u32(s_a)
+        return rng, jnp.stack(
+            [sobol_sample(idx, 0, bits0), sobol_sample(idx, 1, bits1)], -1)
+    if sampler in ("02sequence", "maxmindist"):
         s_a = pcg32_init(pixel_idx)
         s_a, bits0 = pcg32_next_u32(s_a)
         s_a, bits1 = pcg32_next_u32(s_a)
