@@ -374,6 +374,188 @@ class SceneBuilder:
                 self.triangle(p00, p10, p11, **kw)
                 self.triangle(p00, p11, p01, **kw)
 
+    def curve(self, control_points, width0=0.01, width1=0.01,
+              n_segments: int = 16, n_sides: int = 4, **kw) -> None:
+        """Cubic Bezier curve (src/shapes/curve.cpp) tessellated at build into
+        a tube of ``n_sides`` facets with linearly interpolated width.
+
+        The reference intersects flat/cylinder/ribbon curves analytically per
+        ray; the TPU-first choice tessellates into the shared triangle SoA
+        (one intersection kernel for all geometry).  ``cylinder``-type
+        appearance; view-facing "flat" curves have no static-geometry
+        equivalent and render as tubes (documented).
+        """
+        import numpy as _np
+
+        cp = _np.asarray(control_points, _np.float32).reshape(4, 3)
+        ts = _np.linspace(0.0, 1.0, n_segments + 1, dtype=_np.float32)
+        # Bezier evaluation + derivative
+        def bez(t):
+            u = 1.0 - t
+            return (u**3)[:, None] * cp[0] + (3*u*u*t)[:, None] * cp[1] + \
+                   (3*u*t*t)[:, None] * cp[2] + (t**3)[:, None] * cp[3]
+        def bez_d(t):
+            u = 1.0 - t
+            return (3*u*u)[:, None] * (cp[1]-cp[0]) + (6*u*t)[:, None] * (cp[2]-cp[1]) + \
+                   (3*t*t)[:, None] * (cp[3]-cp[2])
+        p = bez(ts)
+        d = bez_d(ts)
+        widths = width0 + (width1 - width0) * ts
+        # stable frame transport along the curve
+        rings = []
+        prev_n = None
+        for i in range(n_segments + 1):
+            tangent = d[i] / max(_np.linalg.norm(d[i]), 1e-9)
+            if prev_n is None:
+                ref = _np.array([0, 0, 1.0], _np.float32)
+                if abs(float(_np.dot(ref, tangent))) > 0.9:
+                    ref = _np.array([1.0, 0, 0], _np.float32)
+                n = _np.cross(tangent, ref)
+            else:
+                n = prev_n - tangent * float(_np.dot(prev_n, tangent))
+            n = n / max(_np.linalg.norm(n), 1e-9)
+            prev_n = n
+            bn = _np.cross(tangent, n)
+            ang = _np.linspace(0, 2*_np.pi, n_sides, endpoint=False)
+            r = 0.5 * widths[i]
+            ring = p[i][None, :] + r * (_np.cos(ang)[:, None] * n
+                                        + _np.sin(ang)[:, None] * bn)
+            rings.append(ring)
+        for k in range(n_segments):
+            a, bq = rings[k], rings[k + 1]
+            for i in range(n_sides):
+                j = (i + 1) % n_sides
+                self.triangle(a[i], a[j], bq[j], **kw)
+                self.triangle(a[i], bq[j], bq[i], **kw)
+
+    def loopsubdiv(self, indices, P, nlevels: int = 2, **kw) -> None:
+        """Loop subdivision surface (src/shapes/loopsubdiv.cpp) applied at
+        build: ``nlevels`` rounds of 4-1 triangle split with Loop's vertex
+        smoothing rules (beta weights for interior vertices, 1/8-3/4-1/8 for
+        edge midpoints), then emitted as triangles."""
+        import numpy as _np
+
+        V = _np.asarray(P, _np.float32).reshape(-1, 3)
+        F = _np.asarray(indices, _np.int64).reshape(-1, 3)
+        for _ in range(nlevels):
+            # edge midpoint indexing
+            edges = {}
+            new_faces = []
+            mids = []
+
+            def edge_key(a, b):
+                return (min(a, b), max(a, b))
+
+            # adjacency for vertex rule
+            neighbors = [set() for _ in range(len(V))]
+            for f in F:
+                for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+                    neighbors[a].add(b)
+                    neighbors[b].add(a)
+            # opposite vertices per edge for the 1/8 weights
+            opp = {}
+            for f in F:
+                for a, b, c in ((f[0], f[1], f[2]), (f[1], f[2], f[0]),
+                                (f[2], f[0], f[1])):
+                    opp.setdefault(edge_key(a, b), []).append(c)
+            mid_pos = {}
+            for (a, b), cs in opp.items():
+                if len(cs) == 2:
+                    mp = 0.375 * (V[a] + V[b]) + 0.125 * (V[cs[0]] + V[cs[1]])
+                else:  # boundary edge
+                    mp = 0.5 * (V[a] + V[b])
+                mid_pos[(a, b)] = mp
+            # smoothed original vertices (Loop beta rule)
+            V_new = V.copy()
+            for i in range(len(V)):
+                n = len(neighbors[i])
+                if n < 3:
+                    continue
+                beta = (0.625 - (0.375 + 0.25 * _np.cos(2 * _np.pi / n)) ** 2) / n
+                V_new[i] = (1 - n * beta) * V[i] + beta * sum(
+                    (V[j] for j in neighbors[i]), _np.zeros(3, _np.float32))
+            # assign midpoint indices
+            base = len(V_new)
+            mid_idx = {}
+            mid_list = []
+            for k in mid_pos:
+                mid_idx[k] = base + len(mid_list)
+                mid_list.append(mid_pos[k])
+            V = _np.concatenate([V_new, _np.asarray(mid_list, _np.float32)
+                                 if mid_list else _np.zeros((0, 3), _np.float32)])
+            F2 = []
+            for f in F:
+                m01 = mid_idx[edge_key(f[0], f[1])]
+                m12 = mid_idx[edge_key(f[1], f[2])]
+                m20 = mid_idx[edge_key(f[2], f[0])]
+                F2 += [(f[0], m01, m20), (f[1], m12, m01),
+                       (f[2], m20, m12), (m01, m12, m20)]
+            F = _np.asarray(F2, _np.int64)
+        for f in F:
+            self.triangle(V[f[0]], V[f[1]], V[f[2]], **kw)
+
+    def nurbs(self, nu: int, nv: int, uorder: int, vorder: int,
+              uknots, vknots, P, w=None, n_eval: int = 24, **kw) -> None:
+        """NURBS patch (src/shapes/nurbs.cpp): Cox-de Boor basis evaluation on
+        an ``n_eval`` x ``n_eval`` grid at build, emitted as triangles.
+        ``P``: (nu*nv, 3) control points; ``w``: optional rational weights."""
+        import numpy as _np
+
+        P = _np.asarray(P, _np.float32).reshape(nu * nv, 3)
+        w = (_np.asarray(w, _np.float32).reshape(nu * nv)
+             if w is not None else _np.ones(nu * nv, _np.float32))
+        uk = _np.asarray(uknots, _np.float32)
+        vk = _np.asarray(vknots, _np.float32)
+
+        def basis(knots, order, n_cp, t):
+            """Cox-de Boor: returns (n_cp,) basis values at parameter t."""
+            k = order  # order = degree + 1 (pbrt convention)
+            N = _np.zeros((len(knots) - 1,), _np.float32)
+            # degree-0
+            for i in range(len(knots) - 1):
+                if knots[i] <= t < knots[i + 1]:
+                    N[i] = 1.0
+            if t >= knots[-1] - 1e-6:
+                # clamp the end of the domain
+                for i in range(len(knots) - 2, -1, -1):
+                    if knots[i] < knots[i + 1]:
+                        N[i] = 1.0
+                        break
+            for d in range(1, k):
+                N_next = _np.zeros_like(N)
+                for i in range(len(N) - d):
+                    left = 0.0
+                    if knots[i + d] > knots[i]:
+                        left = (t - knots[i]) / (knots[i + d] - knots[i]) * N[i]
+                    right = 0.0
+                    if knots[i + d + 1] > knots[i + 1]:
+                        right = (knots[i + d + 1] - t) / (
+                            knots[i + d + 1] - knots[i + 1]) * N[i + 1]
+                    N_next[i] = left + right
+                N = N_next
+            return N[:n_cp]
+
+        u0, u1 = float(uk[uorder - 1]), float(uk[nu])
+        v0, v1 = float(vk[vorder - 1]), float(vk[nv])
+        us = _np.linspace(u0, u1, n_eval, dtype=_np.float32)
+        vs = _np.linspace(v0, v1, n_eval, dtype=_np.float32)
+        grid = _np.zeros((n_eval, n_eval, 3), _np.float32)
+        for iu, uu in enumerate(us):
+            Bu = basis(uk, uorder, nu, uu)
+            for iv, vv in enumerate(vs):
+                Bv = basis(vk, vorder, nv, vv)
+                wts = _np.outer(Bu, Bv).reshape(-1) * w
+                denom = max(float(wts.sum()), 1e-9)
+                grid[iu, iv] = (wts[:, None] * P).sum(0) / denom
+        for iu in range(n_eval - 1):
+            for iv in range(n_eval - 1):
+                a = grid[iu, iv]
+                bq = grid[iu + 1, iv]
+                c = grid[iu + 1, iv + 1]
+                d_ = grid[iu, iv + 1]
+                self.triangle(a, bq, c, **kw)
+                self.triangle(a, c, d_, **kw)
+
     def quad(self, p0, p1, p2, p3, **kw) -> Sequence[int]:
         """Two triangles (p0,p1,p2) and (p0,p2,p3)."""
         return self.triangle(p0, p1, p2, **kw), self.triangle(p0, p2, p3, **kw)

@@ -491,6 +491,57 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                     else:
                         b.triangle(v0, v1, v2, material=gs.material,
                                    medium_inside=mi, medium_outside=mo)
+            elif stype == "disk":
+                b.disk(xf_point((0, 0, _f(p, "height", 0.0))),
+                       normal=ctm[:3, 2], radius=_f(p, "radius", 1.0),
+                       inner_radius=_f(p, "innerradius", 0.0),
+                       material=gs.material, medium_inside=mi, medium_outside=mo)
+            elif stype == "cylinder":
+                b.cylinder(xf_point((0, 0, 0)), axis=ctm[:3, 2],
+                           radius=_f(p, "radius", 1.0),
+                           zmin=_f(p, "zmin", -1.0), zmax=_f(p, "zmax", 1.0),
+                           material=gs.material, medium_inside=mi,
+                           medium_outside=mo)
+            elif stype == "cone":
+                b.cone(xf_point((0, 0, 0)), axis=ctm[:3, 2],
+                       radius=_f(p, "radius", 1.0),
+                       height=_f(p, "height", 1.0),
+                       material=gs.material, medium_inside=mi, medium_outside=mo)
+            elif stype == "paraboloid":
+                b.paraboloid(xf_point((0, 0, 0)), axis=ctm[:3, 2],
+                             radius=_f(p, "radius", 1.0),
+                             zmax=_f(p, "zmax", 1.0),
+                             material=gs.material, medium_inside=mi,
+                             medium_outside=mo)
+            elif stype == "hyperboloid":
+                b.hyperboloid(xf_point((0, 0, 0)), axis=ctm[:3, 2],
+                              material=gs.material, medium_inside=mi,
+                              medium_outside=mo)
+            elif stype == "curve":
+                cps = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
+                cps = cps @ ctm[:3, :3].T + ctm[:3, 3]
+                w0 = _f(p, "width0", _f(p, "width", 0.01))
+                w1 = _f(p, "width1", _f(p, "width", 0.01))
+                for k in range(0, max(len(cps) - 3, 0), 3):  # bezier chains
+                    b.curve(cps[k:k + 4], width0=w0, width1=w1,
+                            material=gs.material, medium_inside=mi,
+                            medium_outside=mo)
+            elif stype == "loopsubdiv":
+                idx = [int(v) for v in p.get("indices", [])]
+                pts = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
+                pts = pts @ ctm[:3, :3].T + ctm[:3, 3]
+                b.loopsubdiv(idx, pts, nlevels=_i(p, "nlevels", 3),
+                             material=gs.material, medium_inside=mi,
+                             medium_outside=mo)
+            elif stype == "nurbs":
+                nu_, nv_ = _i(p, "nu", 2), _i(p, "nv", 2)
+                pts = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
+                pts = pts @ ctm[:3, :3].T + ctm[:3, 3]
+                b.nurbs(nu_, nv_, _i(p, "uorder", 2), _i(p, "vorder", 2),
+                        np.asarray(p.get("uknots", []), np.float32),
+                        np.asarray(p.get("vknots", []), np.float32),
+                        pts, w=p.get("Pw"), material=gs.material,
+                        medium_inside=mi, medium_outside=mo)
             else:
                 warnings.warn(f"shape '{stype}' unsupported; skipped")
         else:
