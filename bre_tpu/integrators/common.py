@@ -40,6 +40,7 @@ def sample_one_light(
     mat_idx: jnp.ndarray,
     med_idx: jnp.ndarray,
     is_surface: jnp.ndarray,
+    tangent=None,
 ):
     """NEE at surface points (BSDF) or medium points (HG phase).
 
@@ -59,7 +60,8 @@ def sample_one_light(
     ls = sample_li(scene, light_idx, p, jnp.stack([ua, ub], -1))
 
     # scattering term
-    f_surf, _pdf = eval_bsdf(scene.materials, mat_idx, n, wo, ls.wi)
+    f_surf, _pdf = eval_bsdf(scene.materials, mat_idx, n, wo, ls.wi,
+                             tangent=tangent)
     f_surf = f_surf * absdot(ls.wi, n)[:, None]
     _, _, g_here, _, _ = gather_medium(scene.media, med_idx)
     f_med = hg_p(wo, ls.wi, g_here)[:, None] * jnp.ones((1, 3))

@@ -204,7 +204,7 @@ def trace_photon_beams_by_index(
         rng, s1 = pcg32_next_f32(rng)
         bs = sample_bsdf(
             scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
-            mode=MODE_IMPORTANCE,
+            mode=MODE_IMPORTANCE, tangent=h.tangent,
         )
         pdf_ok = bs.pdf > 1e-12
         beta_surface = (

@@ -260,7 +260,7 @@ def camera_pass_by_pixels(
         if cfg.rendersurfaces:
             rng, nee = sample_one_light(
                 scene, rng, p_seg_end, h.n, -d, h.material, medium,
-                jnp.ones((R,), bool),
+                jnp.ones((R,), bool), tangent=h.tangent,
             )
             Ld = Ld + jnp.where(
                 (surf & ~is_boundary)[:, None], beta * nee, 0.0
@@ -271,7 +271,7 @@ def camera_pass_by_pixels(
         rng, s1 = pcg32_next_f32(rng)
         bs = sample_bsdf(
             scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
-            mode=MODE_RADIANCE,
+            mode=MODE_RADIANCE, tangent=h.tangent,
         )
         cont = surf & ~is_boundary & bs.valid & (
             jnp.ones((R,), bool) if cfg.rendersurfaces else jnp.zeros((R,), bool)

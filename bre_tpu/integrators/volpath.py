@@ -111,7 +111,8 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
         L = L + jnp.where(see_le[:, None], beta * Le, 0.0)
 
         rng, nee_surf = sample_one_light(
-            scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool)
+            scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
+            tangent=h.tangent,
         )
         L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
 
@@ -119,7 +120,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
         rng, s1 = pcg32_next_f32(rng)
         bs = sample_bsdf(
             scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
-            mode=MODE_RADIANCE,
+            mode=MODE_RADIANCE, tangent=h.tangent,
         )
         cont_surf = surf & ~is_boundary & bs.valid
         if cfg.indirect == "specular":

@@ -40,6 +40,7 @@ from .core.sampling import cosine_hemisphere_pdf, cosine_sample_hemisphere
 from .core.spectrum import luminance
 from .scene.scene import (
     MAT_GLASS,
+    MAT_HAIR,
     MAT_MATTE,
     MAT_METAL,
     MAT_MIRROR,
@@ -50,6 +51,45 @@ from .scene.scene import (
     MAT_UBER,
     Materials,
 )
+
+
+def _maybe_has_hair(materials: Materials) -> bool:
+    """Static guard for the hair branch: precise when the material table is
+    concrete (the common closed-over-scene case), conservatively True when
+    abstract (traced scene arguments)."""
+    import numpy as _np
+
+    try:
+        return bool(_np.any(_np.asarray(materials.mtype) == MAT_HAIR))
+    except Exception:
+        return materials.mtype.shape[0] > 0
+
+
+def _hair_frame(n, wo, tangent):
+    """Orthonormal hair frame (X = fiber tangent, atan2 azimuth in Y/Z) and
+    the azimuthal offset h (see bre_tpu/hair.py).  Lanes without a stored
+    tangent get a canonical frame from the normal (defined, orientation-
+    arbitrary — pbrt reads dpdu from the curve shape instead)."""
+    from .core.math import length as _length
+    from .hair import h_from_tube_geometry
+
+    has_t = _length(tangent) > 1e-6
+    fx, _ = coordinate_system(n)
+    X = jnp.where(has_t[:, None], tangent, fx)
+    X = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-9)
+    Z = n - jnp.sum(n * X, -1, keepdims=True) * X
+    Z = Z / jnp.maximum(jnp.linalg.norm(Z, axis=-1, keepdims=True), 1e-9)
+    Y = jnp.cross(Z, X)
+    h = h_from_tube_geometry(n, wo, X)
+
+    def to_local(w):
+        return jnp.stack([jnp.sum(w * X, -1), jnp.sum(w * Y, -1),
+                          jnp.sum(w * Z, -1)], -1)
+
+    def to_world(wl):
+        return (wl[:, 0:1] * X + wl[:, 1:2] * Y + wl[:, 2:3] * Z)
+
+    return to_local, to_world, h
 
 MODE_RADIANCE = 0
 MODE_IMPORTANCE = 1
@@ -172,6 +212,7 @@ def sample_bsdf(
     textures=None,
     p: Optional[jnp.ndarray] = None,
     uv: Optional[jnp.ndarray] = None,
+    tangent: Optional[jnp.ndarray] = None,
 ) -> BSDFSample:
     """Batched BSDF::Sample_f (reflection.cpp:568-615 semantics).
 
@@ -333,12 +374,35 @@ def sample_bsdf(
     specular = is_mirror | is_glass
     lobe_ok = jnp.where(is_metal, mf_up, jnp.where(is_plastic, up_p, True))
     f = f * mix_scale
+
+    # --- hair fiber BSDF (hair.cpp Sample_f), full-sphere scattering ---
+    if _maybe_has_hair(materials):
+        from .hair import HairParams, demux_float, hair_sample_f
+
+        is_hair = mtype == MAT_HAIR
+        t_in = tangent if tangent is not None else jnp.zeros_like(n)
+        to_local, to_world, h_off = _hair_frame(n, wo, t_in)
+        hp = HairParams(sigma_a=kd, eta=eta,
+                        beta_m=jnp.clip(rough, 1e-3, 1.0),
+                        beta_n=jnp.clip(materials.beta_n[mi], 1e-3, 1.0),
+                        alpha=materials.hair_alpha[mi])
+        ua, ub = demux_float(u[:, 0])
+        uc, ud = demux_float(u[:, 1])
+        u4 = jnp.stack([ua, ub, uc, ud], -1)
+        wi_hl, f_h, pdf_h = hair_sample_f(hp, h_off, to_local(wo), u4)
+        wi_hw = normalize(to_world(wi_hl))
+        wi = jnp.where(is_hair[:, None], wi_hw, wi)
+        f = jnp.where(is_hair[:, None], f_h, f)
+        pdf = jnp.where(is_hair, pdf_h, pdf)
+        lobe_ok = lobe_ok | is_hair
+
     valid = has_mat & lobe_ok & (pdf > 0.0) & (jnp.sum(jnp.abs(f), -1) > 0.0)
     return BSDFSample(wi=wi, f=f, pdf=pdf, specular=specular, valid=valid)
 
 
 def eval_bsdf(materials: Materials, mat_idx, n, wo, wi, textures=None,
-              p: Optional[jnp.ndarray] = None, uv: Optional[jnp.ndarray] = None):
+              p: Optional[jnp.ndarray] = None, uv: Optional[jnp.ndarray] = None,
+              tangent: Optional[jnp.ndarray] = None):
     """Batched BSDF::f + Pdf for non-specular lobes (reflection.cpp:617-637).
 
     Specular materials return (0, 0) as in pbrt (delta lobes never eval).
@@ -349,7 +413,8 @@ def eval_bsdf(materials: Materials, mat_idx, n, wo, wi, textures=None,
         return jnp.zeros(mat_idx.shape + (3,)), jnp.zeros(mat_idx.shape)
     mi0 = jnp.clip(mat_idx, 0, materials.mtype.shape[0] - 1)
     is_mix = (mat_idx >= 0) & (materials.mtype[mi0] == MAT_MIX)
-    f, pdf = _eval_bsdf_base(materials, mat_idx, n, wo, wi, textures, p, uv)
+    f, pdf = _eval_bsdf_base(materials, mat_idx, n, wo, wi, textures, p, uv,
+                             tangent)
     # one level of sub-material indirection for mixes
     amt = materials.mix_amount[mi0]
     m1 = jnp.where(is_mix, materials.mix_m1[mi0], -1)
@@ -366,7 +431,8 @@ def eval_bsdf(materials: Materials, mat_idx, n, wo, wi, textures=None,
 
 def _eval_bsdf_base(materials: Materials, mat_idx, n, wo, wi, textures=None,
                     p: Optional[jnp.ndarray] = None,
-                    uv: Optional[jnp.ndarray] = None):
+                    uv: Optional[jnp.ndarray] = None,
+                    tangent: Optional[jnp.ndarray] = None):
     has_mat = mat_idx >= 0
     mi = jnp.clip(mat_idx, 0, max(materials.mtype.shape[0] - 1, 0))
     mtype = materials.mtype[mi]
@@ -413,6 +479,22 @@ def _eval_bsdf_base(materials: Materials, mat_idx, n, wo, wi, textures=None,
     f = jnp.where(is_transl[:, None], f_tr, jnp.where(same_hemi[:, None], f, 0.0))
     pdf = jnp.where(is_transl, 0.5 * cosine_hemisphere_pdf(jnp.abs(cos_i)),
                     jnp.where(same_hemi, pdf, 0.0))
+    # --- hair fiber BSDF (hair.cpp f/Pdf) ---
+    if _maybe_has_hair(materials):
+        from .hair import HairParams, hair_f, hair_pdf
+
+        is_hair = mtype == MAT_HAIR
+        t_in = tangent if tangent is not None else jnp.zeros_like(n)
+        to_local, _, h_off = _hair_frame(n, wo, t_in)
+        hp = HairParams(sigma_a=kd, eta=eta,
+                        beta_m=jnp.clip(rough, 1e-3, 1.0),
+                        beta_n=jnp.clip(materials.beta_n[mi], 1e-3, 1.0),
+                        alpha=materials.hair_alpha[mi])
+        wo_l = to_local(wo)
+        wi_l = to_local(wi)
+        f = jnp.where(is_hair[:, None], hair_f(hp, h_off, wo_l, wi_l), f)
+        pdf = jnp.where(is_hair, hair_pdf(hp, h_off, wo_l, wi_l), pdf)
+
     f = jnp.where(has_mat[:, None], f, 0.0)
     pdf = jnp.where(has_mat, pdf, 0.0)
     return f, pdf

@@ -83,13 +83,41 @@ class SceneBuilder:
     def _add_mat(self, mtype, kd, ks, eta=1.0, roughness=0.0,
                  metal_eta=(1.0, 1.0, 1.0), metal_k=(0.0, 0.0, 0.0),
                  kd_tex=-1, mix_m1=-1, mix_m2=-1,
-                 mix_amount=(0.5, 0.5, 0.5)) -> int:
+                 mix_amount=(0.5, 0.5, 0.5), beta_n=0.3,
+                 hair_alpha=2.0) -> int:
         self._mat.append(dict(
             mtype=mtype, kd=_rgb(kd), ks=_rgb(ks), eta=eta, roughness=roughness,
             metal_eta=_rgb(metal_eta), metal_k=_rgb(metal_k), kd_tex=kd_tex,
             mix_m1=mix_m1, mix_m2=mix_m2, mix_amount=_rgb(mix_amount),
+            beta_n=beta_n, hair_alpha=hair_alpha,
         ))
         return len(self._mat) - 1
+
+    def hair(self, sigma_a=None, color=None, eumelanin=None, pheomelanin=0.0,
+             beta_m=0.3, beta_n=0.3, alpha=2.0, eta=1.55) -> int:
+        """HairMaterial (src/materials/hair.cpp CreateHairMaterial):
+        absorption given directly (sigma_a), via a target reflectance color
+        (SigmaAFromReflectance), or via melanin concentrations
+        (SigmaAFromConcentration); defaults per the reference."""
+        from .scene import MAT_HAIR
+
+        if sigma_a is None:
+            if color is not None:
+                c = np.clip(_rgb(color), 1e-4, 0.999)
+                denom = (5.969 - 0.215 * beta_n + 2.532 * beta_n**2
+                         - 10.73 * beta_n**3 + 5.574 * beta_n**4
+                         + 0.245 * beta_n**5)
+                sigma_a = (np.log(c) / denom) ** 2
+            elif eumelanin is not None:
+                eum = np.array([0.419, 0.697, 1.37], np.float32)
+                pheo = np.array([0.187, 0.4, 1.05], np.float32)
+                sigma_a = eumelanin * eum + pheomelanin * pheo
+            else:
+                eum = np.array([0.419, 0.697, 1.37], np.float32)
+                sigma_a = 1.3 * eum  # reference default eumelanin 1.3
+        return self._add_mat(MAT_HAIR, kd=sigma_a, ks=(0, 0, 0), eta=eta,
+                             roughness=beta_m, beta_n=beta_n,
+                             hair_alpha=alpha)
 
     def mix(self, m1: int, m2: int, amount=(0.5, 0.5, 0.5)) -> int:
         """MixMaterial (src/materials/mixmat.cpp): amount * m1 +
@@ -243,6 +271,7 @@ class SceneBuilder:
         medium_inside: int = -1,
         medium_outside: int = -1,
         _area_light: int = -1,
+        tangent=None,
     ) -> int:
         self._tri.append(
             dict(
@@ -253,6 +282,8 @@ class SceneBuilder:
                 mi=medium_inside,
                 mo=medium_outside,
                 al=_area_light,
+                tangent=_rgb(tangent) if tangent is not None
+                else np.zeros(3, np.float32),
             )
         )
         return len(self._tri) - 1
@@ -423,10 +454,14 @@ class SceneBuilder:
             rings.append(ring)
         for k in range(n_segments):
             a, bq = rings[k], rings[k + 1]
+            # fiber tangent for the hair BSDF frame (curve dpdu)
+            seg_t = p[k + 1] - p[k]
+            seg_t = seg_t / max(_np.linalg.norm(seg_t), 1e-9)
+            kw_t = dict(kw, tangent=seg_t) if "tangent" not in kw else kw
             for i in range(n_sides):
                 j = (i + 1) % n_sides
-                self.triangle(a[i], a[j], bq[j], **kw)
-                self.triangle(a[i], bq[j], bq[i], **kw)
+                self.triangle(a[i], a[j], bq[j], **kw_t)
+                self.triangle(a[i], bq[j], bq[i], **kw_t)
 
     def loopsubdiv(self, indices, P, nlevels: int = 2, **kw) -> None:
         """Loop subdivision surface (src/shapes/loopsubdiv.cpp) applied at
@@ -725,6 +760,7 @@ class SceneBuilder:
             medium_inside=col(self._tri, "mi"),
             medium_outside=col(self._tri, "mo"),
             area_light=col(self._tri, "al"),
+            tangent=stack(self._tri, "tangent"),
         )
         materials = Materials(
             mtype=col(self._mat, "mtype"),
@@ -738,6 +774,8 @@ class SceneBuilder:
             mix_m1=col(self._mat, "mix_m1"),
             mix_m2=col(self._mat, "mix_m2"),
             mix_amount=stack(self._mat, "mix_amount"),
+            beta_n=col(self._mat, "beta_n", np.float32),
+            hair_alpha=col(self._mat, "hair_alpha", np.float32),
         )
         from ..textures import pack_atlas
 

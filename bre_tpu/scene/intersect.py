@@ -44,6 +44,7 @@ class Hit(NamedTuple):
     prim_index: jnp.ndarray  # (R,) int32
     uv: jnp.ndarray  # (R,2) surface parameterization (sphere phi/theta,
     #                  triangle barycentrics) — pbrt SurfaceInteraction::uv
+    tangent: jnp.ndarray  # (R,3) shading tangent (hair fiber dir; zeros else)
 
 
 def ray_sphere(o, d, center, radius, t_min, t_max):
@@ -196,6 +197,11 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         uv_t = jnp.stack([b1, b2], -1)
         uv = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None], uv_t, uv)
 
+    tangent = jnp.zeros_like(p)
+    if scene.n_triangles > 0:
+        tangent = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None],
+                            scene.triangles.tangent[best_idx], tangent)
+
     return Hit(
         valid=valid,
         t=jnp.where(valid, best_t, t_max),
@@ -208,6 +214,7 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         prim_kind=best_kind,
         prim_index=best_idx,
         uv=uv,
+        tangent=tangent,
     )
 
 

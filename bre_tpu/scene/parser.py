@@ -231,6 +231,19 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                                _f(params, "roughness", 0.1))
         if mat_type == "translucent":
             return b.translucent(_p3(params, "Kd", (0.25,) * 3))
+        if mat_type == "hair":
+            kw = {}
+            if "sigma_a" in params:
+                kw["sigma_a"] = _p3(params, "sigma_a", (0.5,) * 3)
+            elif "color" in params:
+                kw["color"] = _p3(params, "color", (0.5,) * 3)
+            elif "eumelanin" in params or "pheomelanin" in params:
+                kw["eumelanin"] = _f(params, "eumelanin", 1.3)
+                kw["pheomelanin"] = _f(params, "pheomelanin", 0.0)
+            return b.hair(beta_m=_f(params, "beta_m", 0.3),
+                          beta_n=_f(params, "beta_n", 0.3),
+                          alpha=_f(params, "alpha", 2.0),
+                          eta=_f(params, "eta", 1.55), **kw)
         if mat_type == "mix":
             m1 = named_materials.get(
                 str(params.get("namedmaterial1", "")).strip('"'), -1)

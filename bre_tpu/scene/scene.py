@@ -33,6 +33,7 @@ MAT_UBER = 5  # src/materials/uber.cpp (treated as plastic: kd+ks)
 MAT_SUBSTRATE = 6  # src/materials/substrate.cpp (FresnelBlend)
 MAT_TRANSLUCENT = 7  # src/materials/translucent.cpp (two-sided lambert)
 MAT_MIX = 8  # src/materials/mixmat.cpp (blend of two sub-materials)
+MAT_HAIR = 9  # src/materials/hair.cpp (Marschner/Chiang fiber BSDF)
 
 # Light type tags (reference src/lights/*)
 LIGHT_POINT = 0  # src/lights/point.cpp
@@ -74,6 +75,8 @@ class Triangles(NamedTuple):
     medium_inside: jnp.ndarray
     medium_outside: jnp.ndarray
     area_light: jnp.ndarray
+    tangent: jnp.ndarray  # (Nt, 3) shading tangent (fiber direction for
+    # hair-on-tube triangles; zeros elsewhere — pbrt's curve dpdu)
 
 
 class Materials(NamedTuple):
@@ -96,6 +99,8 @@ class Materials(NamedTuple):
     mix_m1: jnp.ndarray  # (Nm,) int32 first sub-material of a mix (-1)
     mix_m2: jnp.ndarray  # (Nm,) int32 second sub-material of a mix (-1)
     mix_amount: jnp.ndarray  # (Nm, 3) blend weight of m1 (mixmat.cpp amount)
+    beta_n: jnp.ndarray  # (Nm,) hair azimuthal roughness (hair.cpp beta_n)
+    hair_alpha: jnp.ndarray  # (Nm,) hair scale tilt degrees (hair.cpp alpha)
 
 
 class Lights(NamedTuple):
