@@ -28,7 +28,8 @@ from ..core.spectrum import luminance
 from ..lights import area_light_emitted, escaped_radiance
 from ..materials import MODE_RADIANCE, sample_bsdf
 from ..media import gather_medium, hg_sample_p, sample_medium
-from ..scene.camera import Camera, generate_rays, pixel_centers
+from ..scene.camera import (Camera, generate_rays, generate_rays_weighted,
+                            pixel_centers)
 from ..scene.intersect import intersect
 from ..scene.scene import Scene
 from .common import sample_one_light
@@ -211,9 +212,12 @@ def render_volpath(
         pix_idx = jnp.arange(R, dtype=jnp.uint32)
         rng = pcg32_init(sample_idx * jnp.uint32(R) + pix_idx + jnp.uint32(0x9E37))
         rng, j2 = camera_jitter(cfg.sampler, pix_idx, sample_idx, cfg.spp, rng)
-        o, d = generate_rays(camera, pix + j2 - 0.5)
+        rng, ul0 = pcg32_next_f32(rng)
+        rng, ul1 = pcg32_next_f32(rng)
+        o, d, w_cam = generate_rays_weighted(camera, pix + j2 - 0.5,
+                                             jnp.stack([ul0, ul1], -1))
         _, L = _li_batch(scene, o, d, rng, cfg)
-        return L
+        return L * w_cam[:, None]
 
     acc = jnp.zeros((R, 3))
     for s in range(cfg.spp):

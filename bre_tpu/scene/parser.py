@@ -575,6 +575,29 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
             )
         elif cam_type == "orthographic":
             camera = make_orthographic_camera(np.asarray(cam_to_world), width, height)
+        elif cam_type == "realistic":
+            from .camera import make_realistic_camera
+
+            lens_file = str(cam_params.get("lensfile", "")).strip('"')
+            rows = []
+            try:
+                for line in (ts.include_dir / lens_file).read_text().splitlines():
+                    line = line.split("#")[0].strip()
+                    if line:
+                        rows.append([float(v) for v in line.split()])
+            except OSError as e:
+                warnings.warn(f"cannot read lens file '{lens_file}': {e}")
+            if rows:
+                camera = make_realistic_camera(
+                    np.asarray(cam_to_world), rows, width, height,
+                    aperture_diameter=_f(cam_params, "aperturediameter", 1.0),
+                    focus_distance=_f(cam_params, "focusdistance", 10.0),
+                    film_diag=_f(cam_params, "filmdiag", 35.0) * 1e-3,
+                )
+            else:
+                warnings.warn("realistic camera without lensfile; perspective")
+                camera = make_perspective_camera(
+                    np.asarray(cam_to_world), 45.0, width, height)
         else:
             warnings.warn(f"camera '{cam_type}' unsupported; using perspective")
             camera = make_perspective_camera(
