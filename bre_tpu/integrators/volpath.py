@@ -26,7 +26,7 @@ from ..core.math import absdot, dot, offset_ray_origin
 from ..core.rng import pcg32_init, pcg32_next_f32
 from ..core.spectrum import luminance
 from ..lights import area_light_emitted, escaped_radiance
-from ..materials import MODE_RADIANCE, sample_bsdf
+from ..materials import MODE_RADIANCE, maybe_has_bssrdf, sample_bsdf
 from ..media import gather_medium, hg_sample_p, sample_medium
 from ..scene.camera import (Camera, generate_rays, generate_rays_weighted,
                             pixel_centers)
@@ -48,6 +48,132 @@ class VolPathConfig:
     # film-plane pixel sampler (reference src/samplers/): random | stratified
     # | 02sequence | sobol | maxmindist | halton
     sampler: str = "random"
+
+
+_BSSRDF_CHAIN_K = 4  # probe-ray intersection-chain capacity (bssrdf.cpp:296-313
+#                      accumulates an unbounded linked list; K=4 covers the
+#                      front/back pair of a convex object plus two extra hits)
+
+
+def _bssrdf_exit(scene: Scene, rng, active, po_p, ns, mi):
+    """Sample the BSSRDF exit point (SeparableBSSRDF::Sample_Sp,
+    bssrdf.cpp:247-325): pick a projection axis and spectral channel, sample
+    a profile radius, and re-intersect the probe segment against the scene,
+    keeping hits on the *same material* (the reference's IntersectionChain
+    becomes a fixed-K sequential re-intersection with masked bookkeeping).
+
+    Returns (rng, dict(ok, p, n, medium, weight)) where weight = Sp/pdf.
+    """
+    from ..bssrdf import bssrdf_sample_sr, bssrdf_sr, pdf_sp
+    from ..core.math import coordinate_system, length
+
+    R = po_p.shape[0]
+    mats = scene.materials
+    sig_a = mats.bss_sigma_a[mi]
+    sig_s = mats.bss_sigma_s[mi]
+    sigma_t = sig_a + sig_s
+    rho = jnp.where(sigma_t > 0, sig_s / jnp.where(sigma_t == 0, 1.0, sigma_t), 0.0)
+    tidx = mats.bss_table[mi]
+    tables = mats.bss_tables
+
+    ss, ts = coordinate_system(ns)
+
+    rng, u1 = pcg32_next_f32(rng)
+    rng, u2a = pcg32_next_f32(rng)
+    rng, u2b = pcg32_next_f32(rng)
+
+    # projection axis (.5/.25/.25 split favoring the normal, bssrdf.cpp:251-270)
+    c_n = u1 < 0.5
+    c_s = (u1 >= 0.5) & (u1 < 0.75)
+    vx = jnp.where(c_n[:, None], ss, jnp.where(c_s[:, None], ts, ns))
+    vy = jnp.where(c_n[:, None], ts, jnp.where(c_s[:, None], ns, ss))
+    vz = jnp.where(c_n[:, None], ns, jnp.where(c_s[:, None], ss, ts))
+    u1 = jnp.where(c_n, u1 * 2.0, jnp.where(c_s, (u1 - 0.5) * 4.0, (u1 - 0.75) * 4.0))
+
+    # spectral channel (bssrdf.cpp:272-274)
+    ch = jnp.clip((u1 * 3.0).astype(jnp.int32), 0, 2)
+    u1 = u1 * 3.0 - ch.astype(jnp.float32)
+
+    def take_ch(a):
+        return jnp.take_along_axis(a, ch[:, None], axis=1)[:, 0]
+
+    st_ch = take_ch(sigma_t)
+    rho_ch = take_ch(rho)
+    r = bssrdf_sample_sr(tables, tidx, st_ch, rho_ch, u2a)
+    r_max = bssrdf_sample_sr(tables, tidx, st_ch, rho_ch,
+                             jnp.full((R,), 0.999, jnp.float32))
+    ok = active & (r >= 0.0) & (r < r_max) & (r_max > 0.0)
+    phi = 2.0 * jnp.pi * u2b
+    half_l = jnp.sqrt(jnp.maximum(r_max * r_max - r * r, 0.0))
+    base = (po_p + r[:, None] * (vx * jnp.cos(phi)[:, None]
+                                 + vy * jnp.sin(phi)[:, None])
+            - half_l[:, None] * vz)
+
+    # --- intersection chain (bssrdf.cpp:290-313), fixed K steps ---
+    cur_o = base
+    remaining = 2.0 * half_l
+    chain_alive = ok
+    ps, nns, meds, match = [], [], [], []
+    for _ in range(_BSSRDF_CHAIN_K):
+        h = intersect(scene, cur_o, vz, t_max=jnp.maximum(remaining, 0.0))
+        hit_ok = chain_alive & h.valid & (h.t < remaining)
+        m = hit_ok & (h.material == mi)
+        hp = cur_o + h.t[:, None] * vz
+        ps.append(hp)
+        nns.append(h.n)
+        meds.append(h.medium_outside)
+        match.append(m)
+        cur_o = jnp.where(hit_ok[:, None], offset_ray_origin(hp, h.n, vz), cur_o)
+        remaining = jnp.where(hit_ok, remaining - h.t, remaining)
+        chain_alive = hit_ok
+
+    match = jnp.stack(match, 0)  # (K, R)
+    n_found = jnp.sum(match.astype(jnp.int32), 0)
+    selected = jnp.clip((u1 * n_found.astype(jnp.float32)).astype(jnp.int32),
+                        0, jnp.maximum(n_found - 1, 0))
+    rank = jnp.cumsum(match.astype(jnp.int32), 0) - match.astype(jnp.int32)
+    sel = match & (rank == selected[None, :])  # (K, R) one-hot
+    selw = sel.astype(jnp.float32)[:, :, None]
+    pi_p = jnp.sum(selw * jnp.stack(ps, 0), 0)
+    pi_n = jnp.sum(selw * jnp.stack(nns, 0), 0)
+    pi_med = jnp.sum(jnp.where(sel, jnp.stack(meds, 0), 0), 0).astype(jnp.int32)
+
+    ok = ok & (n_found > 0)
+    # pdf of this strategy combination / nFound (bssrdf.cpp:316-324)
+    pdf = pdf_sp(tables, tidx, sigma_t, rho, po_p - pi_p, pi_n, ss, ts, ns)
+    pdf = pdf / jnp.maximum(n_found.astype(jnp.float32), 1.0)
+    sp = bssrdf_sr(tables, tidx, sigma_t, rho, length(po_p - pi_p))
+    ok = ok & (pdf > 1e-12) & (jnp.sum(sp, -1) > 0.0)
+    weight = jnp.where(ok[:, None], sp / jnp.where(ok, pdf, 1.0)[:, None], 0.0)
+    return rng, dict(ok=ok, p=pi_p, n=pi_n, medium=pi_med, weight=weight)
+
+
+def _bssrdf_nee(scene: Scene, rng, p, n, eta, med_idx):
+    """NEE at the BSSRDF exit point with the SeparableBSSRDFAdapter BSDF
+    (bssrdf.h:162-180): f = Sw(wi) * eta^2 (radiance mode)."""
+    from ..bssrdf import sw_factor
+    from ..lights import sample_li
+    from ..scene.intersect import intersect_p
+    from .common import segment_transmittance_det
+
+    R = p.shape[0]
+    n_lights = scene.n_lights
+    if n_lights == 0:
+        return rng, jnp.zeros((R, 3))
+    rng, u_pick = pcg32_next_f32(rng)
+    light_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
+    rng, ua = pcg32_next_f32(rng)
+    rng, ub = pcg32_next_f32(rng)
+    ls = sample_li(scene, light_idx, p, jnp.stack([ua, ub], -1))
+    cos_i = dot(ls.wi, n)
+    f = (sw_factor(eta, cos_i) * eta * eta * jnp.maximum(cos_i, 0.0))[:, None]
+    o_shadow = offset_ray_origin(p, n, ls.wi)
+    t_shadow = ls.dist * (1.0 - 1e-3)
+    occluded = intersect_p(scene, o_shadow, ls.wi, t_shadow)
+    tr = segment_transmittance_det(scene, med_idx, o_shadow, ls.wi, t_shadow)
+    ok = ~occluded & (ls.pdf > 1e-12) & (cos_i > 0.0)
+    contrib = f * ls.Li * tr / jnp.where(ok, ls.pdf, 1.0)[:, None]
+    return rng, jnp.where(ok[:, None], contrib, 0.0) * jnp.float32(n_lights)
 
 
 def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
@@ -158,13 +284,60 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
                 ),
             ),
         )
+
+        # ----- BSSRDF: subsurface transport on transmission events
+        # (path.cpp:153-170 / volpath.cpp:150-167); statically skipped for
+        # scenes without subsurface materials -----
+        sss_failed = jnp.zeros_like(alive)
+        sss_ok = jnp.zeros_like(alive)
+        if maybe_has_bssrdf(scene.materials):
+            from ..bssrdf import sw_factor
+            from ..core.math import face_forward
+            from ..core.sampling import cosine_sample_hemisphere
+            from ..scene.scene import MAT_KDSUBSURFACE, MAT_SUBSURFACE
+
+            mats = scene.materials
+            mi_s = jnp.clip(h.material, 0, mats.mtype.shape[0] - 1)
+            mt_s = mats.mtype[mi_s]
+            is_sss_mat = (mt_s == MAT_SUBSURFACE) | (mt_s == MAT_KDSUBSURFACE)
+            transmitted = dot(bs.wi, h.n) * dot(-d, h.n) < 0.0
+            is_sss = cont_surf & is_sss_mat & transmitted
+            eta_s = mats.eta[mi_s]
+            n_out = face_forward(h.n, -d)
+            rng, probe = _bssrdf_exit(scene, rng, is_sss, h_p, n_out, mi_s)
+            sss_ok = is_sss & probe["ok"]
+            sss_failed = is_sss & ~probe["ok"]
+            beta_sss = new_beta * probe["weight"]
+            # direct lighting at the exit point with the adapter BSDF
+            rng, nee_sss = _bssrdf_nee(scene, rng, probe["p"], probe["n"],
+                                       eta_s, probe["medium"])
+            L = L + jnp.where(sss_ok[:, None], beta_sss * nee_sss, 0.0)
+            # indirect continuation: cosine-sample the adapter
+            # (SeparableBSSRDFAdapter::f = Sw; f*cos/pdf_cos = pi*Sw)
+            rng, q0 = pcg32_next_f32(rng)
+            rng, q1 = pcg32_next_f32(rng)
+            wl = cosine_sample_hemisphere(jnp.stack([q0, q1], -1))
+            from ..core.math import coordinate_system as _csys
+
+            bx, by = _csys(probe["n"])
+            wi_sss = (wl[:, 0:1] * bx + wl[:, 1:2] * by
+                      + wl[:, 2:3] * probe["n"])
+            sw = sw_factor(eta_s, jnp.maximum(wl[:, 2], 0.0))
+            beta_sss = beta_sss * (jnp.pi * sw * eta_s * eta_s)[:, None]
+            new_o = jnp.where(sss_ok[:, None],
+                              offset_ray_origin(probe["p"], probe["n"], wi_sss),
+                              new_o)
+            new_d = jnp.where(sss_ok[:, None], wi_sss, new_d)
+            new_beta = jnp.where(sss_ok[:, None], beta_sss, new_beta)
+            new_medium = jnp.where(sss_ok, probe["medium"], new_medium)
         bounces = state["bounces"] + jnp.where(
             (scattered | cont_surf), 1, 0
         ).astype(jnp.int32)
-        new_alive = alive & (scattered | is_boundary | cont_surf)
+        new_alive = alive & (scattered | is_boundary | cont_surf) & ~sss_failed
         new_alive = new_alive & (luminance(new_beta) > 0.0)
         new_alive = new_alive & (bounces < cfg.maxdepth)
         new_specular = jnp.where(cont_surf, bs.specular, state["specular"] & is_boundary)
+        new_specular = new_specular & ~sss_ok  # BSSRDF exit lobe is diffuse
         new_first = state["first"] & is_boundary
 
         # Russian roulette past 3 bounces (volpath.cpp:150-158)

@@ -41,16 +41,29 @@ from .core.spectrum import luminance
 from .scene.scene import (
     MAT_GLASS,
     MAT_HAIR,
+    MAT_KDSUBSURFACE,
     MAT_MATTE,
     MAT_METAL,
     MAT_MIRROR,
     MAT_MIX,
     MAT_PLASTIC,
     MAT_SUBSTRATE,
+    MAT_SUBSURFACE,
     MAT_TRANSLUCENT,
     MAT_UBER,
     Materials,
 )
+
+
+def maybe_has_bssrdf(materials: Materials) -> bool:
+    """Static guard for the BSSRDF path (precise on concrete tables)."""
+    import numpy as _np
+
+    try:
+        mt = _np.asarray(materials.mtype)
+        return bool(_np.any((mt == MAT_SUBSURFACE) | (mt == MAT_KDSUBSURFACE)))
+    except Exception:
+        return materials.mtype.shape[0] > 0
 
 
 def _maybe_has_hair(materials: Materials) -> bool:
@@ -350,7 +363,12 @@ def sample_bsdf(
 
     is_matte = mtype == MAT_MATTE
     is_mirror = mtype == MAT_MIRROR
-    is_glass = mtype == MAT_GLASS
+    # subsurface materials carry the same smooth-dielectric FresnelSpecular
+    # BSDF as glass (subsurface.cpp:63-66: Kr/Kt FresnelSpecular when smooth);
+    # the BSSRDF itself is handled by the integrator on transmission events
+    # (path.cpp:153-170).
+    is_glass = ((mtype == MAT_GLASS) | (mtype == MAT_SUBSURFACE)
+                | (mtype == MAT_KDSUBSURFACE))
     is_metal = mtype == MAT_METAL
     is_plastic = (mtype == MAT_PLASTIC) | (mtype == MAT_UBER)
     is_substrate = mtype == MAT_SUBSTRATE

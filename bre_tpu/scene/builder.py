@@ -77,6 +77,9 @@ class SceneBuilder:
         self._tex: List[dict] = []
         self._images: List[list] = []  # MIPMap pyramids for imagemap textures
         self._light_images: List[list] = []  # pyramids for image-backed lights
+        self._bss_tables: List[dict] = []  # beam-diffusion tables (bssrdf.py)
+        self._bss_keys: dict = {}  # (g, eta) -> table index
+        self._fourier_tables: List = []  # FourierTable rows (fourier.py)
         self.camera_medium = -1
 
     # --- materials (reference src/materials/*.cpp) ---
@@ -84,14 +87,75 @@ class SceneBuilder:
                  metal_eta=(1.0, 1.0, 1.0), metal_k=(0.0, 0.0, 0.0),
                  kd_tex=-1, mix_m1=-1, mix_m2=-1,
                  mix_amount=(0.5, 0.5, 0.5), beta_n=0.3,
-                 hair_alpha=2.0) -> int:
+                 hair_alpha=2.0, bss_sigma_a=(0, 0, 0), bss_sigma_s=(0, 0, 0),
+                 bss_table=-1, fourier=-1) -> int:
         self._mat.append(dict(
             mtype=mtype, kd=_rgb(kd), ks=_rgb(ks), eta=eta, roughness=roughness,
             metal_eta=_rgb(metal_eta), metal_k=_rgb(metal_k), kd_tex=kd_tex,
             mix_m1=mix_m1, mix_m2=mix_m2, mix_amount=_rgb(mix_amount),
             beta_n=beta_n, hair_alpha=hair_alpha,
+            bss_sigma_a=_rgb(bss_sigma_a), bss_sigma_s=_rgb(bss_sigma_s),
+            bss_table=bss_table, fourier=fourier,
         ))
         return len(self._mat) - 1
+
+    def _bss_table_for(self, g: float, eta: float) -> int:
+        """One beam-diffusion table per unique (g, eta) pair
+        (ComputeBeamDiffusionBSSRDF, bssrdf.cpp:145-176; materials cache
+        their table the same way via member `table`)."""
+        key = (round(float(g), 6), round(float(eta), 6))
+        if key not in self._bss_keys:
+            from ..bssrdf import compute_beam_diffusion_bssrdf
+
+            self._bss_keys[key] = len(self._bss_tables)
+            self._bss_tables.append(compute_beam_diffusion_bssrdf(g, eta))
+        return self._bss_keys[key]
+
+    def subsurface(self, name=None, sigma_a=None, sigma_s=None, g=0.0,
+                   eta=1.33, scale=1.0, kr=(1.0, 1.0, 1.0),
+                   kt=(1.0, 1.0, 1.0)) -> int:
+        """SubsurfaceMaterial (src/materials/subsurface.cpp:46-137): smooth
+        dielectric BSDF + TabulatedBSSRDF.  `name` looks up the measured
+        scattering table (medium.cpp:49-181) and forces g=0 (the database
+        stores reduced coefficients); defaults are Wholemilk's sigmas."""
+        from ..bssrdf import get_medium_scattering_properties
+        from .scene import MAT_SUBSURFACE
+
+        sa = np.asarray((0.0011, 0.0024, 0.014), np.float32)
+        ss = np.asarray((2.55, 3.21, 3.77), np.float32)
+        if name is not None:
+            props = get_medium_scattering_properties(name)
+            if props is None:
+                import warnings
+
+                warnings.warn(f'named scattering material "{name}" not found; '
+                              "using defaults")
+            else:
+                ss, sa = props
+                g = 0.0
+        if sigma_a is not None:
+            sa = _rgb(sigma_a)
+        if sigma_s is not None:
+            ss = _rgb(sigma_s)
+        tab = self._bss_table_for(g, eta)
+        return self._add_mat(MAT_SUBSURFACE, kd=kr, ks=kt, eta=eta,
+                             bss_sigma_a=scale * sa, bss_sigma_s=scale * ss,
+                             bss_table=tab)
+
+    def kdsubsurface(self, kd=(0.5, 0.5, 0.5), mfp=(1.0, 1.0, 1.0), g=0.0,
+                     eta=1.33, scale=1.0, kr=(1.0, 1.0, 1.0),
+                     kt=(1.0, 1.0, 1.0)) -> int:
+        """KdSubsurfaceMaterial (src/materials/kdsubsurface.cpp:44-124):
+        sigma_a/sigma_s inverted from a diffuse color + mean free path via
+        SubsurfaceFromDiffuse (bssrdf.cpp:177-186)."""
+        from ..bssrdf import subsurface_from_diffuse
+        from .scene import MAT_KDSUBSURFACE
+
+        tab = self._bss_table_for(g, eta)
+        sa, ss = subsurface_from_diffuse(self._bss_tables[tab], _rgb(kd),
+                                         scale * _rgb(mfp))
+        return self._add_mat(MAT_KDSUBSURFACE, kd=kr, ks=kt, eta=eta,
+                             bss_sigma_a=sa, bss_sigma_s=ss, bss_table=tab)
 
     def hair(self, sigma_a=None, color=None, eumelanin=None, pheomelanin=0.0,
              beta_m=0.3, beta_n=0.3, alpha=2.0, eta=1.55) -> int:
@@ -732,6 +796,19 @@ class SceneBuilder:
             ids.append(light_id)
         return ids[0]
 
+    def _frozen_bss_tables(self):
+        from ..bssrdf import BSSRDFTables, empty_bssrdf_tables
+
+        if not self._bss_tables:
+            return empty_bssrdf_tables()
+        return BSSRDFTables(
+            rho=jnp.asarray(np.stack([t["rho"] for t in self._bss_tables])),
+            radius=jnp.asarray(np.stack([t["radius"] for t in self._bss_tables])),
+            profile=jnp.asarray(np.stack([t["profile"] for t in self._bss_tables])),
+            rho_eff=jnp.asarray(np.stack([t["rho_eff"] for t in self._bss_tables])),
+            cdf=jnp.asarray(np.stack([t["cdf"] for t in self._bss_tables])),
+        )
+
     # --- freeze ---
     def build(self) -> Scene:
         def stack(rows, key, dtype=np.float32, dim3=True):
@@ -776,6 +853,11 @@ class SceneBuilder:
             mix_amount=stack(self._mat, "mix_amount"),
             beta_n=col(self._mat, "beta_n", np.float32),
             hair_alpha=col(self._mat, "hair_alpha", np.float32),
+            bss_sigma_a=stack(self._mat, "bss_sigma_a"),
+            bss_sigma_s=stack(self._mat, "bss_sigma_s"),
+            bss_table=col(self._mat, "bss_table"),
+            bss_tables=self._frozen_bss_tables(),
+            fourier=col(self._mat, "fourier"),
         )
         from ..textures import pack_atlas
 

@@ -244,6 +244,27 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                           beta_n=_f(params, "beta_n", 0.3),
                           alpha=_f(params, "alpha", 2.0),
                           eta=_f(params, "eta", 1.55), **kw)
+        if mat_type == "subsurface":
+            kw = {}
+            if "name" in params:
+                kw["name"] = str(params["name"]).strip('"')
+            if "sigma_a" in params:
+                kw["sigma_a"] = _p3(params, "sigma_a", (0.0011, 0.0024, 0.014))
+            if "sigma_s" in params:
+                kw["sigma_s"] = _p3(params, "sigma_s", (2.55, 3.21, 3.77))
+            return b.subsurface(g=_f(params, "g", 0.0),
+                                eta=_f(params, "eta", 1.33),
+                                scale=_f(params, "scale", 1.0),
+                                kr=_p3(params, "Kr", (1.0,) * 3),
+                                kt=_p3(params, "Kt", (1.0,) * 3), **kw)
+        if mat_type == "kdsubsurface":
+            return b.kdsubsurface(kd=_p3(params, "Kd", (0.5,) * 3),
+                                  mfp=_p3(params, "mfp", (1.0,) * 3),
+                                  g=_f(params, "g", 0.0),
+                                  eta=_f(params, "eta", 1.33),
+                                  scale=_f(params, "scale", 1.0),
+                                  kr=_p3(params, "Kr", (1.0,) * 3),
+                                  kt=_p3(params, "Kt", (1.0,) * 3))
         if mat_type == "mix":
             m1 = named_materials.get(
                 str(params.get("namedmaterial1", "")).strip('"'), -1)

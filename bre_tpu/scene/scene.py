@@ -34,6 +34,9 @@ MAT_SUBSTRATE = 6  # src/materials/substrate.cpp (FresnelBlend)
 MAT_TRANSLUCENT = 7  # src/materials/translucent.cpp (two-sided lambert)
 MAT_MIX = 8  # src/materials/mixmat.cpp (blend of two sub-materials)
 MAT_HAIR = 9  # src/materials/hair.cpp (Marschner/Chiang fiber BSDF)
+MAT_SUBSURFACE = 10  # src/materials/subsurface.cpp (dielectric + TabulatedBSSRDF)
+MAT_KDSUBSURFACE = 11  # src/materials/kdsubsurface.cpp (sigma from diffuse color)
+MAT_FOURIER = 12  # src/materials/fourier.cpp (measured FourierBSDF table)
 
 # Light type tags (reference src/lights/*)
 LIGHT_POINT = 0  # src/lights/point.cpp
@@ -101,6 +104,13 @@ class Materials(NamedTuple):
     mix_amount: jnp.ndarray  # (Nm, 3) blend weight of m1 (mixmat.cpp amount)
     beta_n: jnp.ndarray  # (Nm,) hair azimuthal roughness (hair.cpp beta_n)
     hair_alpha: jnp.ndarray  # (Nm,) hair scale tilt degrees (hair.cpp alpha)
+    # subsurface scattering (bssrdf.h TabulatedBSSRDF; world-space sigmas
+    # after `scale`, or inverted from Kd/mfp for kdsubsurface)
+    bss_sigma_a: jnp.ndarray  # (Nm, 3)
+    bss_sigma_s: jnp.ndarray  # (Nm, 3)
+    bss_table: jnp.ndarray  # (Nm,) int32 index into bss_tables rows (-1)
+    bss_tables: "object"  # BSSRDFTables pytree (bre_tpu/bssrdf.py), (Nt, ...)
+    fourier: jnp.ndarray  # (Nm,) int32 index into the scene FourierTables (-1)
 
 
 class Lights(NamedTuple):
