@@ -39,6 +39,7 @@ from .core.math import (
 from .core.sampling import cosine_hemisphere_pdf, cosine_sample_hemisphere
 from .core.spectrum import luminance
 from .scene.scene import (
+    MAT_FOURIER,
     MAT_GLASS,
     MAT_HAIR,
     MAT_KDSUBSURFACE,
@@ -53,6 +54,16 @@ from .scene.scene import (
     MAT_UBER,
     Materials,
 )
+
+
+def maybe_has_fourier(materials: Materials) -> bool:
+    """Static guard for the FourierBSDF branch."""
+    import numpy as _np
+
+    try:
+        return bool(_np.any(_np.asarray(materials.mtype) == MAT_FOURIER))
+    except Exception:
+        return materials.mtype.shape[0] > 0
 
 
 def maybe_has_bssrdf(materials: Materials) -> bool:
@@ -414,6 +425,24 @@ def sample_bsdf(
         pdf = jnp.where(is_hair, pdf_h, pdf)
         lobe_ok = lobe_ok | is_hair
 
+    # --- FourierBSDF (reflection.cpp:523-600): full-sphere tabulated BSDF,
+    # frame built from the unflipped normal so the mu sign convention holds ---
+    if maybe_has_fourier(materials):
+        from .fourier import fourier_sample_f
+
+        is_fourier = mtype == MAT_FOURIER
+        ft = materials.fourier_tables
+        tidx = jnp.clip(materials.fourier[mi], 0, max(ft.mu.shape[0] - 1, 0))
+        fvx, fvy = coordinate_system(n)
+        wo_l = jnp.stack([dot(wo, fvx), dot(wo, fvy), dot(wo, n)], -1)
+        wi_fl, f_f, pdf_f = fourier_sample_f(ft, tidx, wo_l, u, mode)
+        wi_fw = normalize(
+            wi_fl[:, 0:1] * fvx + wi_fl[:, 1:2] * fvy + wi_fl[:, 2:3] * n)
+        wi = jnp.where(is_fourier[:, None], wi_fw, wi)
+        f = jnp.where(is_fourier[:, None], f_f, f)
+        pdf = jnp.where(is_fourier, pdf_f, pdf)
+        lobe_ok = lobe_ok | is_fourier
+
     valid = has_mat & lobe_ok & (pdf > 0.0) & (jnp.sum(jnp.abs(f), -1) > 0.0)
     return BSDFSample(wi=wi, f=f, pdf=pdf, specular=specular, valid=valid)
 
@@ -512,6 +541,20 @@ def _eval_bsdf_base(materials: Materials, mat_idx, n, wo, wi, textures=None,
         wi_l = to_local(wi)
         f = jnp.where(is_hair[:, None], hair_f(hp, h_off, wo_l, wi_l), f)
         pdf = jnp.where(is_hair, hair_pdf(hp, h_off, wo_l, wi_l), pdf)
+
+    # --- FourierBSDF f/Pdf (reflection.cpp:307-361, 602-641) ---
+    if maybe_has_fourier(materials):
+        from .fourier import fourier_f, fourier_pdf
+
+        is_fourier = mtype == MAT_FOURIER
+        ft = materials.fourier_tables
+        tidx = jnp.clip(materials.fourier[mi], 0, max(ft.mu.shape[0] - 1, 0))
+        fvx, fvy = coordinate_system(n)
+        wo_l = jnp.stack([dot(wo, fvx), dot(wo, fvy), dot(wo, n)], -1)
+        wi_l = jnp.stack([dot(wi, fvx), dot(wi, fvy), dot(wi, n)], -1)
+        f = jnp.where(is_fourier[:, None],
+                      fourier_f(ft, tidx, wo_l, wi_l, MODE_RADIANCE), f)
+        pdf = jnp.where(is_fourier, fourier_pdf(ft, tidx, wo_l, wi_l), pdf)
 
     f = jnp.where(has_mat[:, None], f, 0.0)
     pdf = jnp.where(has_mat, pdf, 0.0)

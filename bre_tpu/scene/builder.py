@@ -796,6 +796,29 @@ class SceneBuilder:
             ids.append(light_id)
         return ids[0]
 
+    def fourier_material(self, bsdffile=None, table=None) -> int:
+        """FourierMaterial (src/materials/fourier.cpp:200-230): tabulated
+        BSDF from a SCATFUN `.bsdf` file (param ``bsdffile``) or an
+        in-memory FourierTable (e.g. from fourier.project_bsdf_table)."""
+        from ..fourier import read_bsdf_file
+        from .scene import MAT_FOURIER
+
+        if table is None:
+            if bsdffile is None:
+                raise ValueError("fourier material needs bsdffile= or table=")
+            table = read_bsdf_file(bsdffile)
+        idx = len(self._fourier_tables)
+        self._fourier_tables.append(table)
+        return self._add_mat(MAT_FOURIER, kd=(0, 0, 0), ks=(0, 0, 0),
+                             eta=table.eta, fourier=idx)
+
+    def _frozen_fourier_tables(self):
+        from ..fourier import empty_fourier_tables, stack_fourier_tables
+
+        if not self._fourier_tables:
+            return empty_fourier_tables()
+        return stack_fourier_tables(self._fourier_tables)
+
     def _frozen_bss_tables(self):
         from ..bssrdf import BSSRDFTables, empty_bssrdf_tables
 
@@ -858,6 +881,7 @@ class SceneBuilder:
             bss_table=col(self._mat, "bss_table"),
             bss_tables=self._frozen_bss_tables(),
             fourier=col(self._mat, "fourier"),
+            fourier_tables=self._frozen_fourier_tables(),
         )
         from ..textures import pack_atlas
 

@@ -244,6 +244,12 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                           beta_n=_f(params, "beta_n", 0.3),
                           alpha=_f(params, "alpha", 2.0),
                           eta=_f(params, "eta", 1.55), **kw)
+        if mat_type == "fourier":
+            fn = str(params.get("bsdffile", "")).strip('"')
+            if not fn:
+                warnings.warn("fourier material needs bsdffile; using matte")
+                return b.matte()
+            return b.fourier_material(bsdffile=str(ts.include_dir / fn))
         if mat_type == "subsurface":
             kw = {}
             if "name" in params:

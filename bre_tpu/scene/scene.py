@@ -110,7 +110,8 @@ class Materials(NamedTuple):
     bss_sigma_s: jnp.ndarray  # (Nm, 3)
     bss_table: jnp.ndarray  # (Nm,) int32 index into bss_tables rows (-1)
     bss_tables: "object"  # BSSRDFTables pytree (bre_tpu/bssrdf.py), (Nt, ...)
-    fourier: jnp.ndarray  # (Nm,) int32 index into the scene FourierTables (-1)
+    fourier: jnp.ndarray  # (Nm,) int32 index into fourier_tables rows (-1)
+    fourier_tables: "object"  # FourierTables pytree (bre_tpu/fourier.py)
 
 
 class Lights(NamedTuple):
