@@ -41,6 +41,9 @@ def sample_one_light(
     med_idx: jnp.ndarray,
     is_surface: jnp.ndarray,
     tangent=None,
+    uv=None,
+    duv_dx=None,
+    duv_dy=None,
 ):
     """NEE at surface points (BSDF) or medium points (HG phase).
 
@@ -59,9 +62,11 @@ def sample_one_light(
     rng, ub = pcg32_next_f32(rng)
     ls = sample_li(scene, light_idx, p, jnp.stack([ua, ub], -1))
 
-    # scattering term
+    # scattering term (kd textures apply at surface hits; EWA when the
+    # caller provides ray-differential footprints)
     f_surf, _pdf = eval_bsdf(scene.materials, mat_idx, n, wo, ls.wi,
-                             tangent=tangent)
+                             tangent=tangent, textures=scene.textures, p=p,
+                             uv=uv, duv_dx=duv_dx, duv_dy=duv_dy)
     f_surf = f_surf * absdot(ls.wi, n)[:, None]
     _, _, g_here, _, _ = gather_medium(scene.media, med_idx)
     f_med = hg_p(wo, ls.wi, g_here)[:, None] * jnp.ones((1, 3))

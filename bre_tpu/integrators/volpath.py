@@ -48,6 +48,10 @@ class VolPathConfig:
     # film-plane pixel sampler (reference src/samplers/): random | stratified
     # | 02sequence | sobol | maxmindist | halton
     sampler: str = "random"
+    # camera-ray differentials + EWA image-map filtering at first hits
+    # (Camera::GenerateRayDifferential + MIPMap EWA; opt-in: the fixed
+    # EWA window is ~360 gathers/lane)
+    texture_filter: bool = False
 
 
 _BSSRDF_CHAIN_K = 4  # probe-ray intersection-chain capacity (bssrdf.cpp:296-313
@@ -176,8 +180,12 @@ def _bssrdf_nee(scene: Scene, rng, p, n, eta, med_idx):
     return rng, jnp.where(ok[:, None], contrib, 0.0) * jnp.float32(n_lights)
 
 
-def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
-    """Radiance for a batch of camera rays. Returns (rng, L)."""
+def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None):
+    """Radiance for a batch of camera rays. Returns (rng, L).
+
+    diffs: optional (rx_o, rx_d, ry_o, ry_d) camera-ray differentials;
+    image-map textures at first hits then use EWA footprint filtering.
+    """
     R = o.shape[0]
     state = dict(
         rng=rng,
@@ -237,9 +245,23 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
         Le = area_light_emitted(scene, h.area_light, h.n, -d)
         L = L + jnp.where(see_le[:, None], beta * Le, 0.0)
 
+        # ray-differential texture footprints at first camera hits
+        # (SurfaceInteraction::ComputeDifferentials; zero past the first
+        # bounce, matching pbrt's camera-ray-only differentials)
+        duv_dx = duv_dy = None
+        if diffs is not None:
+            from ..scene.intersect import compute_uv_differentials
+
+            rx_o, rx_d, ry_o, ry_d = diffs
+            duv_dx, duv_dy = compute_uv_differentials(
+                scene, h, o, d, rx_o, rx_d, ry_o, ry_d)
+            fm = (state["first"] & surf)[:, None]
+            duv_dx = jnp.where(fm, duv_dx, 0.0)
+            duv_dy = jnp.where(fm, duv_dy, 0.0)
+
         rng, nee_surf = sample_one_light(
             scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
-            tangent=h.tangent,
+            tangent=h.tangent, uv=h.uv, duv_dx=duv_dx, duv_dy=duv_dy,
         )
         L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
 
@@ -248,6 +270,8 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig):
         bs = sample_bsdf(
             scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
             mode=MODE_RADIANCE, tangent=h.tangent,
+            textures=scene.textures, p=h_p, uv=h.uv,
+            duv_dx=duv_dx, duv_dy=duv_dy,
         )
         cont_surf = surf & ~is_boundary & bs.valid
         if cfg.indirect == "specular":
@@ -379,6 +403,9 @@ def render_volpath(
 
     from ..core.samplers import camera_jitter
 
+    # EWA texture filtering needs ray differentials + an image atlas
+    use_diffs = bool(cfg.texture_filter) and scene.textures.atlas.shape[0] > 1
+
     @jax.jit
     def one_pass(sample_idx):
         # sample_idx is traced: one compile serves every spp pass
@@ -387,9 +414,17 @@ def render_volpath(
         rng, j2 = camera_jitter(cfg.sampler, pix_idx, sample_idx, cfg.spp, rng)
         rng, ul0 = pcg32_next_f32(rng)
         rng, ul1 = pcg32_next_f32(rng)
-        o, d, w_cam = generate_rays_weighted(camera, pix + j2 - 0.5,
-                                             jnp.stack([ul0, ul1], -1))
-        _, L = _li_batch(scene, o, d, rng, cfg)
+        u_lens = jnp.stack([ul0, ul1], -1)
+        diffs = None
+        if use_diffs:
+            from ..scene.camera import generate_ray_differentials
+
+            o, d, w_cam, rx_o, rx_d, ry_o, ry_d = generate_ray_differentials(
+                camera, pix + j2 - 0.5, u_lens)
+            diffs = (rx_o, rx_d, ry_o, ry_d)
+        else:
+            o, d, w_cam = generate_rays_weighted(camera, pix + j2 - 0.5, u_lens)
+        _, L = _li_batch(scene, o, d, rng, cfg, diffs=diffs)
         return L * w_cam[:, None]
 
     acc = jnp.zeros((R, 3))

@@ -204,14 +204,17 @@ class BSDFSample(NamedTuple):
     valid: jnp.ndarray  # (R,) bool (false => terminate path)
 
 
-def _effective_kd(materials: Materials, mi, kd, textures, p, uv):
-    """Apply the kd texture where present (constant kd otherwise)."""
+def _effective_kd(materials: Materials, mi, kd, textures, p, uv,
+                  duv_dx=None, duv_dy=None):
+    """Apply the kd texture where present (constant kd otherwise).  Optional
+    duv footprints enable EWA image-map filtering (textures.py)."""
     if textures is None or p is None:
         return kd
     from .textures import eval_texture
 
     tex_idx = materials.kd_tex[mi]
-    col = eval_texture(textures, tex_idx, p, uv if uv is not None else p[:, :2])
+    col = eval_texture(textures, tex_idx, p, uv if uv is not None else p[:, :2],
+                       duv_dx=duv_dx, duv_dy=duv_dy)
     return jnp.where((tex_idx >= 0)[:, None], kd * col, kd)
 
 
@@ -237,6 +240,8 @@ def sample_bsdf(
     p: Optional[jnp.ndarray] = None,
     uv: Optional[jnp.ndarray] = None,
     tangent: Optional[jnp.ndarray] = None,
+    duv_dx: Optional[jnp.ndarray] = None,
+    duv_dy: Optional[jnp.ndarray] = None,
 ) -> BSDFSample:
     """Batched BSDF::Sample_f (reflection.cpp:568-615 semantics).
 
@@ -274,7 +279,8 @@ def sample_bsdf(
     )
 
     mtype = materials.mtype[mi]
-    kd = _effective_kd(materials, mi, materials.kd[mi], textures, p, uv)
+    kd = _effective_kd(materials, mi, materials.kd[mi], textures, p, uv,
+                       duv_dx, duv_dy)
     ks = materials.ks[mi]
     eta = materials.eta[mi]
     rough = materials.roughness[mi]
@@ -449,7 +455,9 @@ def sample_bsdf(
 
 def eval_bsdf(materials: Materials, mat_idx, n, wo, wi, textures=None,
               p: Optional[jnp.ndarray] = None, uv: Optional[jnp.ndarray] = None,
-              tangent: Optional[jnp.ndarray] = None):
+              tangent: Optional[jnp.ndarray] = None,
+              duv_dx: Optional[jnp.ndarray] = None,
+              duv_dy: Optional[jnp.ndarray] = None):
     """Batched BSDF::f + Pdf for non-specular lobes (reflection.cpp:617-637).
 
     Specular materials return (0, 0) as in pbrt (delta lobes never eval).
@@ -461,7 +469,7 @@ def eval_bsdf(materials: Materials, mat_idx, n, wo, wi, textures=None,
     mi0 = jnp.clip(mat_idx, 0, materials.mtype.shape[0] - 1)
     is_mix = (mat_idx >= 0) & (materials.mtype[mi0] == MAT_MIX)
     f, pdf = _eval_bsdf_base(materials, mat_idx, n, wo, wi, textures, p, uv,
-                             tangent)
+                             tangent, duv_dx, duv_dy)
     # one level of sub-material indirection for mixes
     amt = materials.mix_amount[mi0]
     m1 = jnp.where(is_mix, materials.mix_m1[mi0], -1)
@@ -479,11 +487,14 @@ def eval_bsdf(materials: Materials, mat_idx, n, wo, wi, textures=None,
 def _eval_bsdf_base(materials: Materials, mat_idx, n, wo, wi, textures=None,
                     p: Optional[jnp.ndarray] = None,
                     uv: Optional[jnp.ndarray] = None,
-                    tangent: Optional[jnp.ndarray] = None):
+                    tangent: Optional[jnp.ndarray] = None,
+                    duv_dx: Optional[jnp.ndarray] = None,
+                    duv_dy: Optional[jnp.ndarray] = None):
     has_mat = mat_idx >= 0
     mi = jnp.clip(mat_idx, 0, max(materials.mtype.shape[0] - 1, 0))
     mtype = materials.mtype[mi]
-    kd = _effective_kd(materials, mi, materials.kd[mi], textures, p, uv)
+    kd = _effective_kd(materials, mi, materials.kd[mi], textures, p, uv,
+                       duv_dx, duv_dy)
     ks = materials.ks[mi]
     eta = materials.eta[mi]
     rough = materials.roughness[mi]

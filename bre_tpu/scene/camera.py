@@ -493,3 +493,18 @@ def pixel_centers(width: int, height: int) -> jnp.ndarray:
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     gx, gy = jnp.meshgrid(xs, ys)
     return jnp.stack([gx.ravel(), gy.ravel()], -1)
+
+
+def generate_ray_differentials(camera: Camera, p_raster: jnp.ndarray,
+                               u_lens: jnp.ndarray | None = None):
+    """Camera::GenerateRayDifferential (camera.cpp:~60-80): the main ray plus
+    the rays of the +1-pixel raster offsets in x and y (same lens sample).
+
+    Returns (o, d, weight, rx_o, rx_d, ry_o, ry_d).
+    """
+    o, d, w = generate_rays_weighted(camera, p_raster, u_lens)
+    dx = jnp.asarray([1.0, 0.0])
+    dy = jnp.asarray([0.0, 1.0])
+    rx_o, rx_d, _ = generate_rays_weighted(camera, p_raster + dx, u_lens)
+    ry_o, ry_d, _ = generate_rays_weighted(camera, p_raster + dy, u_lens)
+    return o, d, w, rx_o, rx_d, ry_o, ry_d

@@ -238,3 +238,83 @@ def intersect_p(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max) -> jnp.ndar
         has_mat = (scene.triangles.material >= 0)[None, :]
         occluded |= jnp.any((ts < _BIG) & has_mat, axis=1)
     return occluded
+
+
+def hit_dpduv(scene: Scene, h: Hit):
+    """Surface partial derivatives (dp/du, dp/dv) at hit points, for ray-
+    differential texture footprints (SurfaceInteraction::ComputeDifferentials,
+    interaction.cpp:~150-200 consumes these; shapes define them in
+    sphere.cpp:~150 and triangle.cpp:~190).
+
+    Sphere (uv = phi/2pi, theta/pi): dpdu = 2pi(-l_y, l_x, 0),
+    dpdv = pi(l_z cos phi, l_z sin phi, -r sin theta) with l = p - center.
+    Triangle (uv = barycentric b1, b2): dpdu = p1 - p0, dpdv = p2 - p0.
+    Returns (dpdu (R,3), dpdv (R,3)).
+    """
+    R = h.p.shape[0]
+    dpdu = jnp.zeros((R, 3))
+    dpdv = jnp.zeros((R, 3))
+    if scene.n_spheres > 0:
+        c = scene.spheres.center[h.prim_index]
+        r = scene.spheres.radius[h.prim_index]
+        l = h.p - c
+        du = 2.0 * jnp.pi * jnp.stack(
+            [-l[:, 1], l[:, 0], jnp.zeros((R,))], -1)
+        zr = jnp.sqrt(jnp.maximum(l[:, 0] ** 2 + l[:, 1] ** 2, 1e-12))
+        cos_phi = l[:, 0] / zr
+        sin_phi = l[:, 1] / zr
+        dv = jnp.pi * jnp.stack(
+            [l[:, 2] * cos_phi, l[:, 2] * sin_phi, -zr], -1)
+        is_s = (h.prim_kind == SHAPE_SPHERE)[:, None]
+        dpdu = jnp.where(is_s, du, dpdu)
+        dpdv = jnp.where(is_s, dv, dpdv)
+    if scene.n_triangles > 0:
+        ii = h.prim_index
+        du = scene.triangles.p1[ii] - scene.triangles.p0[ii]
+        dv = scene.triangles.p2[ii] - scene.triangles.p0[ii]
+        is_t = (h.prim_kind == SHAPE_TRIANGLE)[:, None]
+        dpdu = jnp.where(is_t, du, dpdu)
+        dpdv = jnp.where(is_t, dv, dpdv)
+    return dpdu, dpdv
+
+
+def compute_uv_differentials(scene: Scene, h: Hit, o, d, rx_o, rx_d, ry_o, ry_d):
+    """SurfaceInteraction::ComputeDifferentials (interaction.cpp:~150-200):
+    intersect the two offset rays with the tangent plane at the hit and
+    solve the least-squares 2x2 system dp = dpdu * du + dpdv * dv.
+
+    Returns (duv_dx (R,2), duv_dy (R,2)); zero where the hit is invalid or
+    the offset rays are parallel to the surface.
+    """
+    n = h.n
+    pn = jnp.sum(h.p * n, -1)
+
+    def plane_hit(oo, dd):
+        dn = jnp.sum(dd * n, -1)
+        tt = (pn - jnp.sum(oo * n, -1)) / jnp.where(jnp.abs(dn) < 1e-9, 1.0, dn)
+        ok = jnp.abs(dn) >= 1e-9
+        return oo + tt[:, None] * dd, ok
+
+    px, okx = plane_hit(rx_o, rx_d)
+    py, oky = plane_hit(ry_o, ry_d)
+    dpdx = px - h.p
+    dpdy = py - h.p
+    dpdu, dpdv = hit_dpduv(scene, h)
+    # normal-equation solve of [dpdu dpdv] [du dv]^T = dp
+    a11 = jnp.sum(dpdu * dpdu, -1)
+    a12 = jnp.sum(dpdu * dpdv, -1)
+    a22 = jnp.sum(dpdv * dpdv, -1)
+    det = a11 * a22 - a12 * a12
+    ok = okx & oky & h.valid & (det > 1e-18)
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+    def solve(dp):
+        b1 = jnp.sum(dpdu * dp, -1)
+        b2 = jnp.sum(dpdv * dp, -1)
+        du = (a22 * b1 - a12 * b2) * inv_det
+        dv = (a11 * b2 - a12 * b1) * inv_det
+        return jnp.stack([du, dv], -1)
+
+    duv_dx = jnp.where(ok[:, None], solve(dpdx), 0.0)
+    duv_dy = jnp.where(ok[:, None], solve(dpdy), 0.0)
+    return duv_dx, duv_dy

@@ -161,6 +161,97 @@ def image_lookup(tex: Textures, ti, uv, lod=None):
         tex, ti, st, l1)
 
 
+MAX_ANISOTROPY = 8.0  # MIPMap maxAnisotropy default (mipmap.h ctor)
+_EWA_W = 9  # fixed filter window half-extent in texels (see image_lookup_ewa)
+
+
+def _ewa_level(tex: Textures, ti, st, dst0, dst1, level):
+    """EWA filter on one pyramid level (MIPMap::EWA, mipmap.cpp:~270-320).
+
+    The reference walks the exact ellipse bounding box (data-dependent);
+    here the ellipse is evaluated over a fixed (2W+1)^2 texel window --
+    valid because the level is chosen so the minor axis is ~1 texel and
+    anisotropy is clamped to MAX_ANISOTROPY (<= W) texels of major axis --
+    and texels outside the ellipse get zero weight.  TPU-first: static
+    shapes, masked gather-sum.
+    """
+    off, w, h = _level_geometry(tex, ti, level)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    # convert to texel coordinates on this level
+    s = st[:, 0] * wf - 0.5
+    t = st[:, 1] * hf - 0.5
+    d0s = dst0[:, 0] * wf
+    d0t = dst0[:, 1] * hf
+    d1s = dst1[:, 0] * wf
+    d1t = dst1[:, 1] * hf
+    # ellipse coefficients (mipmap.cpp EWA: A u^2 + B u v + C v^2 < F)
+    A = d0t * d0t + d1t * d1t + 1.0
+    B = -2.0 * (d0s * d0t + d1s * d1t)
+    C = d0s * d0s + d1s * d1s + 1.0
+    invF = 1.0 / jnp.maximum(A * C - B * B * 0.25, 1e-12)
+    A = A * invF
+    B = B * invF
+    C = C * invF
+
+    si0 = jnp.round(s).astype(jnp.int32)
+    ti0 = jnp.round(t).astype(jnp.int32)
+    acc = jnp.zeros(st.shape[:1] + (3,))
+    wsum = jnp.zeros(st.shape[:1])
+    ds_grid = jnp.arange(-_EWA_W, _EWA_W + 1)  # (K,)
+    for dt_ in range(-_EWA_W, _EWA_W + 1):  # one vectorized gather per row
+        tt = ti0 + dt_
+        vv = tt.astype(jnp.float32) - t
+        ss = si0[:, None] + ds_grid[None, :]  # (R, K)
+        uu = ss.astype(jnp.float32) - s[:, None]
+        r2 = (A[:, None] * uu * uu + B[:, None] * uu * vv[:, None]
+              + C[:, None] * vv[:, None] * vv[:, None])
+        # gaussian falloff exp(-2 r^2) - exp(-2) (mipmap.cpp weightLut)
+        wgt = jnp.where(r2 < 1.0, jnp.exp(-2.0 * r2) - jnp.exp(-2.0), 0.0)
+        x = jnp.mod(ss, jnp.maximum(w, 1)[:, None])
+        y = jnp.mod(tt, jnp.maximum(h, 1))
+        acc = acc + jnp.sum(wgt[:, :, None]
+                            * tex.atlas[(off + y)[:, None], x], axis=1)
+        wsum = wsum + jnp.sum(wgt, axis=1)
+    return acc / jnp.maximum(wsum, 1e-9)[:, None]
+
+
+def image_lookup_ewa(tex: Textures, ti, uv, duv_dx, duv_dy):
+    """MIPMap::Lookup(st, dst0, dst1) EWA path (mipmap.cpp:~230-268):
+    order the axes, clamp the ellipse eccentricity to MAX_ANISOTROPY,
+    choose the level from the minor-axis length, EWA-filter two levels and
+    lerp.  uv/duv in raw surface-uv units; the texture's uv transform is
+    applied here."""
+    sc = tex.uv_scale[ti]
+    st = uv * sc + tex.uv_delta[ti]
+    dst0 = duv_dx * sc
+    dst1 = duv_dy * sc
+    l0sq = jnp.sum(dst0 * dst0, -1)
+    l1sq = jnp.sum(dst1 * dst1, -1)
+    swap = l0sq < l1sq
+    major = jnp.where(swap[:, None], dst1, dst0)
+    minor = jnp.where(swap[:, None], dst0, dst1)
+    maj_len = jnp.sqrt(jnp.maximum(l0sq, l1sq))
+    min_len = jnp.sqrt(jnp.minimum(l0sq, l1sq))
+    # clamp eccentricity (mipmap.cpp:241-247)
+    need = (min_len * MAX_ANISOTROPY < maj_len) & (min_len > 0)
+    scale_f = jnp.where(need, maj_len / (min_len * MAX_ANISOTROPY), 1.0)
+    minor = minor * scale_f[:, None]
+    min_len = min_len * scale_f
+    min_len = jnp.maximum(min_len, 1e-8)
+
+    nl = jnp.maximum(tex.n_levels[ti], 1)
+    n_levels0 = jnp.log2(jnp.maximum(
+        jnp.maximum(tex.img_w[ti], tex.img_h[ti]).astype(jnp.float32), 1.0))
+    lod = jnp.clip(n_levels0 + jnp.log2(min_len), 0.0,
+                   (nl - 1).astype(jnp.float32))
+    lev0 = jnp.floor(lod).astype(jnp.int32)
+    lev1 = jnp.minimum(lev0 + 1, nl - 1)
+    f = (lod - lev0.astype(jnp.float32))[:, None]
+    return ((1 - f) * _ewa_level(tex, ti, st, major, minor, lev0)
+            + f * _ewa_level(tex, ti, st, major, minor, lev1))
+
+
 # ---------------------------------------------------------------------------
 # Perlin noise (texture.cpp Noise/Grad/FBm, vectorized)
 # ---------------------------------------------------------------------------
@@ -233,10 +324,12 @@ def turbulence(p: jnp.ndarray, omega: jnp.ndarray, max_octaves: int = 6) -> jnp.
 # ---------------------------------------------------------------------------
 
 def eval_texture(tex: Textures, tex_idx: jnp.ndarray, p: jnp.ndarray,
-                 uv: jnp.ndarray) -> jnp.ndarray:
+                 uv: jnp.ndarray, duv_dx=None, duv_dy=None) -> jnp.ndarray:
     """Evaluate texture colors for a shading batch.
 
     tex_idx: (R,) int32 (-1 -> white); p: (R,3) world position; uv: (R,2).
+    duv_dx/duv_dy: optional (R,2) ray-differential uv footprints — image
+    maps then use anisotropic EWA filtering instead of point bilinear.
     Returns (R,3).
     """
     R = tex_idx.shape[0]
@@ -290,6 +383,9 @@ def eval_texture(tex: Textures, tex_idx: jnp.ndarray, p: jnp.ndarray,
     # image_lookup directly).  Static guard: atlas is (1,1,3) iff no image
     # texture exists in the scene.
     if tex.atlas.shape[0] > 1:
-        img_col = image_lookup(tex, ti, uv)
+        if duv_dx is not None and duv_dy is not None:
+            img_col = image_lookup_ewa(tex, ti, uv, duv_dx, duv_dy)
+        else:
+            img_col = image_lookup(tex, ti, uv)
         out = jnp.where((tt == TEX_IMAGE)[:, None], c0 * img_col, out)
     return jnp.where((tex_idx >= 0)[:, None], out, 1.0)
