@@ -508,3 +508,29 @@ def generate_ray_differentials(camera: Camera, p_raster: jnp.ndarray,
     rx_o, rx_d, _ = generate_rays_weighted(camera, p_raster + dx, u_lens)
     ry_o, ry_d, _ = generate_rays_weighted(camera, p_raster + dy, u_lens)
     return o, d, w, rx_o, rx_d, ry_o, ry_d
+
+
+def generate_rays_animated(camera: Camera, at, p_raster: jnp.ndarray,
+                           time: jnp.ndarray, u_lens: jnp.ndarray | None = None):
+    """Motion-blurred ray generation: camera-space rays transformed by the
+    AnimatedTransform interpolated at each ray's shutter time
+    (AnimatedTransform camera-to-world in Camera::GenerateRay,
+    camera.h:~56 + transform.cpp Interpolate).
+
+    at: core.animated.AnimatedTransform (camera-to-world keyframes);
+    time: (R,) per-ray times.  Returns (o, d, weight).
+    """
+    from ..core.animated import interpolate
+
+    cam_local = camera._replace(camera_to_world=jnp.eye(4))
+    o_c, d_c, w = generate_rays_weighted(cam_local, p_raster, u_lens)
+    M = interpolate(at, time)  # (R, 4, 4)
+    o = jnp.einsum("rij,rj->ri", M[:, :3, :3], o_c) + M[:, :3, 3]
+    d = normalize(jnp.einsum("rij,rj->ri", M[:, :3, :3], d_c))
+    return o, d, w
+
+
+def shutter_times(shutter_open: float, shutter_close: float, u_time):
+    """Map [0,1) samples to shutter times (pbrt CameraSample::time lerp,
+    camera.h:82 + integrator.cpp:271)."""
+    return shutter_open + (shutter_close - shutter_open) * u_time
