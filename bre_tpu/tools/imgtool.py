@@ -104,7 +104,20 @@ def main(argv=None) -> int:
     a = sub.add_parser("assemble")
     a.add_argument("outfile")
     a.add_argument("images", nargs="+")
+    s = sub.add_parser("makesky", help="analytic daylight sky map "
+                       "(Preetham; reference imgtool.cpp:87-188)")
+    s.add_argument("--outfile", "-o", default="sky.pfm")
+    s.add_argument("--resolution", type=int, default=512)
+    s.add_argument("--elevation", type=float, default=30.0,
+                   help="sun elevation above the horizon, degrees")
+    s.add_argument("--turbidity", type=float, default=3.0)
+    s.add_argument("--layout", choices=["equalarea", "equirect"],
+                   default="equalarea")
     args = ap.parse_args(argv)
+    if args.cmd == "makesky":
+        from .sky import cmd_makesky
+
+        return cmd_makesky(args)
     return {"diff": cmd_diff, "cat": cmd_cat, "convert": cmd_convert,
             "assemble": cmd_assemble}[args.cmd](args)
 
