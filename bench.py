@@ -49,6 +49,7 @@ def main() -> None:
         gather="pallas",
         gather_chunk=512,
         grad_geometry=False,
+        grad_extras=False,
     )
     distr = light_power_distribution(scene)
 

@@ -148,7 +148,8 @@ def _interp_power(power_start, power_end, frac):
 
 
 def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
-                   min_sin_theta: float, grad_geometry: bool = True) -> jnp.ndarray:
+                   min_sin_theta: float, grad_geometry: bool = True,
+                   grad_extras: bool = True) -> jnp.ndarray:
     """(R,3) contribution of one beam chunk to all R segments.
 
     cb: chunk beam arrays (C,...) incl. float validity mask; seg: per-ray
@@ -156,13 +157,17 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
     ``grad_geometry=False`` stop-grads the closest-point geometry (kernel
     positions) — the standard reparameterization-free treatment for medium
     parameter optimization; power/transmittance/phase gradients stay exact.
+    ``grad_extras=False`` additionally stop-grads the blur radii and the HG
+    ``g`` (cotangents rarely needed: radii follow the progressive schedule,
+    not an optimizer) — saves a third of the backward pair work.
     """
     sg = (lambda x: x) if grad_geometry else jax.lax.stop_gradient
+    sx = (lambda x: x) if grad_extras else jax.lax.stop_gradient
     c_start = sg(cb["start"])[None, :, :]  # (1,C,3)
     c_end = sg(cb["end"])[None, :, :]
     c_ps = cb["power_start"][None, :, :]
     c_pe = cb["power_end"][None, :, :]
-    c_rad = cb["radius"][None, :]
+    c_rad = sx(cb["radius"])[None, :]
     c_valid = cb["valid_f"][None, :]  # float 0/1
 
     a0 = sg(seg["a0"])[:, None, :]  # (R,1,3)
@@ -172,7 +177,7 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
     else:
         pa, pb, cp_valid = closest_points_segments_exact(a0, a1, c_start, c_end)
     dist = length(pa - pb)  # (R,C)
-    width = seg["cam_radius"] + c_rad
+    width = sx(seg["cam_radius"]) + c_rad
     r = dist / jnp.maximum(width, 1e-30)
     in_range = ((r < 1.0) & cp_valid).astype(jnp.float32) * c_valid
 
@@ -196,7 +201,7 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
         )
 
         cos_theta = jnp.sum(seg["dir"][:, None, :] * b_dirn, -1)
-        rho = phase_hg(cos_theta, seg["g"][:, None])
+        rho = phase_hg(cos_theta, sx(seg["g"])[:, None])
         sin_theta = jnp.maximum(
             jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12)),
             min_sin_theta,
@@ -220,7 +225,7 @@ def _gather_core(cfg, pb: dict, seg: dict) -> jnp.ndarray:
 
 
 def _gather_forward(cfg, pb, seg):
-    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom = cfg
+    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom, grad_extras = cfg
     R = seg["a0"].shape[0]
     # beams arrive validity-compacted (valid first); chunks past n_valid are
     # all dead — a scalar cond skips their pair sweep entirely.
@@ -230,7 +235,7 @@ def _gather_forward(cfg, pb, seg):
         def live(_):
             cb = {k: jax.lax.dynamic_slice_in_dim(v, ci * chunk, chunk, 0)
                   for k, v in pb.items()}
-            return _chunk_contrib(cb, seg, kernel, power_scale, min_sin, grad_geom)
+            return _chunk_contrib(cb, seg, kernel, power_scale, min_sin, grad_geom, grad_extras)
 
         add = jax.lax.cond(
             (ci * chunk).astype(jnp.float32) < n_valid, live,
@@ -249,7 +254,7 @@ def _gather_fwd(cfg, pb, seg):
 def _gather_bwd(cfg, res, ct):
     """Chunked backward: re-run each chunk's forward under jax.vjp — one
     chunk's pairwise intermediates live at a time."""
-    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom = cfg
+    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom, grad_extras = cfg
     pb, seg = res
 
     ct_pb0 = jax.tree.map(jnp.zeros_like, pb)
@@ -265,7 +270,7 @@ def _gather_bwd(cfg, res, ct):
                   for k, v in pb.items()}
             _, vjp_fn = jax.vjp(
                 lambda cb_, seg_: _chunk_contrib(cb_, seg_, kernel, power_scale,
-                                                 min_sin, grad_geom),
+                                                 min_sin, grad_geom, grad_extras),
                 cb,
                 seg,
             )
@@ -302,7 +307,7 @@ _gather_core.defvjp(_gather_fwd, _gather_bwd)
 def _pallas_forward(cfg, pb, seg):
     from ..ops.pallas_gather import pack_beams, pack_rays, pallas_gather_forward
 
-    kernel, chunk, n_chunks, power_scale, min_sin, _grad_geom = cfg
+    kernel, chunk, n_chunks, power_scale, min_sin, _grad_geom, _grad_extras = cfg
     R = seg["a0"].shape[0]
     tile = 256  # measured best on v5e (15.5 Gpairs/s vs 10.6 at 128)
     R_pad = ((R + tile - 1) // tile) * tile
@@ -336,18 +341,22 @@ def _gather_fwd_pallas(cfg, pb, seg):
     return _pallas_forward(cfg, pb, seg), (pb, seg)
 
 
-# The analytic Pallas backward needs TWO kernel passes (per-ray and per-beam
-# cotangents accumulate over different grid axes), each repeating the pair
-# recompute; measured on v5e it loses to XLA's single-pass chunk recompute
-# (6.6s vs 4.7s at bench scale), so it stays opt-in.
-PALLAS_BWD_ENABLED = False
+# Analytic Pallas backward selection (grad_geometry=False, KERNEL_BRE only):
+# - "fused": ONE pair sweep producing both cotangent sets (beam chunks outer,
+#   ray tiles inner; d_rays accumulates in a VMEM-resident whole block) with
+#   dead-chunk skip — the measured default.
+# - "twopass": separate per-ray and per-beam kernels (2x pair recompute);
+#   historical, loses to XLA chunk recompute at bench scale.
+# - None/False: XLA chunked recompute VJP.
+PALLAS_BWD_ENABLED = True
+PALLAS_BWD_MODE = "fused"  # "fused" | "twopass"
 
 
 def _gather_bwd_pallas(cfg, res, ct):
     """Backward: analytic Pallas kernels when geometry is stop-gradient
     (grad_geometry=False) and PALLAS_BWD_ENABLED; XLA chunk recompute
-    otherwise (the measured default)."""
-    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom = cfg
+    otherwise."""
+    kernel, chunk, n_chunks, power_scale, min_sin, grad_geom, grad_extras = cfg
     if grad_geom or kernel != KERNEL_BRE or not PALLAS_BWD_ENABLED:
         return _gather_bwd(cfg, res, ct)
     from ..ops.pallas_gather import pack_beams, pack_rays
@@ -357,6 +366,7 @@ def _gather_bwd_pallas(cfg, res, ct):
         DR_SIGS,
         DR_TR,
         pallas_gather_backward,
+        pallas_gather_backward_fused,
     )
     from ..ops.pallas_gather import BF_PE, BF_PS, BF_RAD
 
@@ -374,18 +384,30 @@ def _gather_bwd_pallas(cfg, res, ct):
     n_tiles = R_pad // tile
     rays_packed = pack_rays(seg_p, tile)
     beams_packed = pack_beams(pb, chunk)
-    scalars = jnp.stack(
-        [jnp.asarray(seg["cam_radius"], jnp.float32),
-         jnp.float32(power_scale), jnp.float32(min_sin)]
-    ).reshape(1, 3)
     ct_pad = jnp.concatenate([ct, jnp.zeros((R_pad - R, 3))], 0) if R_pad != R else ct
     ct_packed = jnp.concatenate(
         [ct_pad.reshape(n_tiles, tile, 3).transpose(0, 2, 1),
          jnp.zeros((n_tiles, 5, tile))], 1,
     )
-    d_rays, d_beams = pallas_gather_backward(
-        rays_packed, beams_packed, scalars, ct_packed, tile, chunk
-    )
+    if PALLAS_BWD_MODE == "fused":
+        n_valid = seg.get("n_valid_beams", jnp.float32(pb["radius"].shape[0]))
+        scalars4 = jnp.stack(
+            [jnp.asarray(seg["cam_radius"], jnp.float32),
+             jnp.float32(power_scale), jnp.float32(min_sin),
+             jnp.asarray(n_valid, jnp.float32)]
+        ).reshape(1, 4)
+        d_rays, d_beams = pallas_gather_backward_fused(
+            rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
+            want_extras=grad_extras,
+        )
+    else:
+        scalars = jnp.stack(
+            [jnp.asarray(seg["cam_radius"], jnp.float32),
+             jnp.float32(power_scale), jnp.float32(min_sin)]
+        ).reshape(1, 3)
+        d_rays, d_beams = pallas_gather_backward(
+            rays_packed, beams_packed, scalars, ct_packed, tile, chunk
+        )
     # unpack per-ray cotangents (n_tiles, 8, T) -> (R, ...)
     dr = d_rays.transpose(0, 2, 1).reshape(R_pad, 8)[:R]
     zero3 = jnp.zeros((R, 3))
@@ -430,6 +452,7 @@ def gather_beams_bruteforce(
     min_sin_theta: float = 0.05,
     backend: str = "xla",
     grad_geometry: bool = True,
+    grad_extras: bool = True,
     assume_compacted: bool = False,
 ) -> jnp.ndarray:
     """Accumulate beam radiance onto R camera segments. Returns (R,3).
@@ -493,7 +516,7 @@ def gather_beams_bruteforce(
         n_valid_beams=n_valid_beams,
     )
     cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale),
-           float(min_sin_theta), bool(grad_geometry))
+           float(min_sin_theta), bool(grad_geometry), bool(grad_extras))
     if backend == "pallas" and kernel == KERNEL_BRE:
         return _gather_core_pallas(cfg, pb, seg)
     return _gather_core(cfg, pb, seg)

@@ -74,6 +74,7 @@ class PhotonBeamConfig:
     tile: int = 128
     max_candidates: int = 4096
     grad_geometry: bool = True  # False: cheaper bwd for medium-param fitting
+    grad_extras: bool = True  # False: skip radius/HG-g cotangents in the bwd
 
 
 def camera_pass(
@@ -208,6 +209,7 @@ def camera_pass_by_pixels(
                         power_scale=1.0 / float(photons_per_iter),
                         backend="pallas" if cfg.gather == "pallas" else "xla",
                         grad_geometry=cfg.grad_geometry,
+                        grad_extras=cfg.grad_extras,
                         assume_compacted=True,
                     )
 

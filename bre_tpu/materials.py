@@ -57,13 +57,16 @@ from .scene.scene import (
 
 
 def maybe_has_fourier(materials: Materials) -> bool:
-    """Static guard for the FourierBSDF branch."""
+    """Static guard for the FourierBSDF branch: precise on concrete mtype;
+    for traced scenes (shard_map/jit arguments) fall back to the *static*
+    table shape — no Fourier tables means no Fourier materials can exist
+    (and the branch would gather from a 0-row table)."""
     import numpy as _np
 
     try:
         return bool(_np.any(_np.asarray(materials.mtype) == MAT_FOURIER))
     except Exception:
-        return materials.mtype.shape[0] > 0
+        return materials.fourier_tables.mu.shape[0] > 0
 
 
 def maybe_has_bssrdf(materials: Materials) -> bool:
@@ -74,7 +77,9 @@ def maybe_has_bssrdf(materials: Materials) -> bool:
         mt = _np.asarray(materials.mtype)
         return bool(_np.any((mt == MAT_SUBSURFACE) | (mt == MAT_KDSUBSURFACE)))
     except Exception:
-        return materials.mtype.shape[0] > 0
+        # traced mtype: the BSSRDF table rows are static and empty iff no
+        # subsurface material exists
+        return materials.bss_tables.rho.shape[0] > 0
 
 
 def _maybe_has_hair(materials: Materials) -> bool:

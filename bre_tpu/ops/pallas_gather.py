@@ -58,6 +58,17 @@ def _interp_power_k(ps, pe, frac):
     return jnp.where(ok, ps_s * jnp.exp(frac * jnp.log(pe_s / ps_s)), 0.0)
 
 
+def _log_decay(ps, pe):
+    """log(pe/ps) with the same where-isolation as ``_interp_power_k``:
+    (ok mask, safe ps, log ratio).  Lets the caller fuse the beam-power and
+    camera-transmittance exponentials into ONE exp per channel:
+    p_at * tr_cam = ps * exp(t_b * log(pe/ps) + t_c * log(tr))."""
+    ok = ps > 1e-20
+    ps_s = jnp.where(ok, ps, 1.0)
+    pe_s = jnp.where(ok, jnp.maximum(pe, 1e-12 * ps_s), 1.0)
+    return ok, ps_s, jnp.log(pe_s / ps_s)
+
+
 def _gather_kernel(scalars_ref, rays_ref, beams_ref, out_ref, *, chunk):
     j = pl.program_id(1)
 
@@ -100,46 +111,48 @@ def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref,
     denom = a * e - b * b
     s = jnp.where(denom > 1e-12, (b * f - c_ * e) / jnp.where(denom > 1e-12, denom, 1.0), 0.0)
     s = jnp.clip(s, 0.0, 1.0)
-    t = jnp.where(e > 1e-12, (b * s + f) / jnp.where(e > 1e-12, e, 1.0), 0.0)
+    inv_e = jnp.where(e > 1e-12, 1.0 / jnp.where(e > 1e-12, e, 1.0), 0.0)  # (C,1)
+    t = (b * s + f) * inv_e
     t_cl = jnp.clip(t, 0.0, 1.0)
-    s_new = jnp.clip((t_cl * b - c_) / jnp.where(a > 1e-12, a, 1.0), 0.0, 1.0)
+    inv_a = jnp.where(a > 1e-12, 1.0 / jnp.where(a > 1e-12, a, 1.0), 0.0)  # (1,T)
+    s_new = jnp.clip((t_cl * b - c_) * inv_a, 0.0, 1.0)
     s = jnp.where((t != t_cl) & (a > 1e-12), s_new, s)
 
     dist2 = jnp.zeros_like(b)
     for c in range(3):
         diff = (a0[c] + d1[c] * s) - (b0[c] + d2[c] * t_cl)
         dist2 = dist2 + diff * diff
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
 
-    width = cam_radius + b_col(BF_RAD)
-    r_n = dist / jnp.maximum(width, 1e-30)
-    in_range = ((r_n < 1.0).astype(jnp.float32)) * b_col(BF_VALID)
+    # r^2 directly (no sqrt): r = dist/width, so r^2 = dist2 * inv_width^2
+    width = jnp.maximum(cam_radius + b_col(BF_RAD), 1e-30)  # (C,1)
+    inv_width = 1.0 / width
+    r2 = dist2 * (inv_width * inv_width)
+    in_range = ((r2 < 1.0).astype(jnp.float32)) * b_col(BF_VALID)
 
-    # beam direction / length; fraction along beam is t_cl directly
-    beam_len = jnp.sqrt(jnp.maximum(e, 1e-30))  # (C,1)
-    inv_beam_len = 1.0 / beam_len
-    # camera params
-    seg_len = r_row(RF_LEN)
+    # beam direction via rsqrt; fraction along beam is t_cl directly
+    inv_beam_len = jax.lax.rsqrt(jnp.maximum(e, 1e-30))  # (C,1)
     # t_c along camera = s * |d1|; frac along camera = s (d1 spans the segment)
     frac_c = jnp.clip(s, 0.0, 1.0)
 
     cos_theta = sum(r_row(RF_DIR + c) * (d2[c] * inv_beam_len) for c in range(3))
     gg = r_row(RF_G)
-    denom_hg = 1.0 + gg * gg + 2.0 * gg * cos_theta
-    rho = 0.07957747154594767 * (1.0 - gg * gg) / (
-        denom_hg * jnp.sqrt(jnp.maximum(denom_hg, 1e-12))
+    denom_hg = jnp.maximum(1.0 + gg * gg + 2.0 * gg * cos_theta, 1e-12)
+    rs = jax.lax.rsqrt(denom_hg)
+    rho = 0.07957747154594767 * (1.0 - gg * gg) * (rs * rs * rs)
+    inv_sin = jnp.minimum(
+        jax.lax.rsqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12)),
+        1.0 / min_sin,
     )
-    sin_theta = jnp.maximum(
-        jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12)), min_sin
-    )
-    k1 = 0.75 * (1.0 - r_n * r_n) / jnp.maximum(width, 1e-30)
-    w = power_scale * rho * k1 / sin_theta * in_range * r_row(RF_INMED)
+    k1 = 0.75 * (1.0 - r2) * inv_width
+    w = power_scale * rho * k1 * inv_sin * in_range * r_row(RF_INMED)
 
     for ch in range(3):
-        p_at = _interp_power_k(b_col(BF_PS + ch), b_col(BF_PE + ch), t_cl)
-        tr_full = jnp.maximum(r_row(RF_TR + ch), 1e-30)
-        tr_cam = jnp.exp(frac_c * jnp.log(tr_full))
-        contrib = w * p_at * tr_cam * r_row(RF_SIGS + ch)  # (C,T)
+        # p_at * tr_cam fused into ONE exp: ps * exp(t_b*log(pe/ps) + t_c*log(tr))
+        ok, ps_s, lp = _log_decay(b_col(BF_PS + ch), b_col(BF_PE + ch))
+        lt = jnp.log(jnp.maximum(r_row(RF_TR + ch), 1e-30))  # (1,T)
+        pt = ps_s * jnp.exp(t_cl * lp + frac_c * lt)
+        pt = jnp.where(ok, pt, 0.0)
+        contrib = w * pt * r_row(RF_SIGS + ch)  # (C,T)
         out_ref[0, ch : ch + 1, :] += jnp.sum(contrib, axis=0, keepdims=True)
 
 

@@ -67,9 +67,11 @@ def test_pallas_backward_is_xla_recompute():
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-6)
 
 
-def test_pallas_bwd_kernels_match_xla(monkeypatch):
-    """Opt-in analytic Pallas backward == XLA recompute backward
-    (grad_geometry=False)."""
+@pytest.mark.parametrize("mode", ["fused", "twopass"])
+def test_pallas_bwd_kernels_match_xla(monkeypatch, mode):
+    """Analytic Pallas backward kernels == XLA recompute backward
+    (grad_geometry=False), for both the fused single-pass default and the
+    historical two-pass variant."""
     from bre_tpu.accel import beam_gather as bg
 
     beams, media, a0, a1, sd, med, trf = _setup(B=512, R=256)
@@ -85,9 +87,46 @@ def test_pallas_bwd_kernels_match_xla(monkeypatch):
         return jnp.sum(out * W)
 
     args = (beams.power_start, beams.power_end, beams.radius, trf)
+    monkeypatch.setattr(bg, "PALLAS_BWD_ENABLED", False)
     gx = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
     monkeypatch.setattr(bg, "PALLAS_BWD_ENABLED", True)
+    monkeypatch.setattr(bg, "PALLAS_BWD_MODE", mode)
     gp = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
     for x, p in zip(gx, gp):
         x, p = np.asarray(x), np.asarray(p)
         assert np.abs(x - p).max() <= 2e-4 * (np.abs(x).max() + 1e-9)
+
+
+def test_grad_extras_off_zeroes_radius_g(monkeypatch):
+    """grad_extras=False: power/transmittance/sigma_s grads unchanged, radius
+    cotangents zero — identically in the XLA path and the fused Pallas bwd."""
+    from bre_tpu.accel import beam_gather as bg
+
+    beams, media, a0, a1, sd, med, trf = _setup(B=512, R=256)
+    W = jnp.asarray(np.random.RandomState(5).rand(256, 3), jnp.float32)
+
+    def loss(ps, rad, trf_, extras, backend):
+        bb = beams._replace(power_start=ps, radius=rad)
+        out = gather_beams_bruteforce(
+            bb, media, a0, a1, sd, med, trf_, jnp.float32(0.2),
+            kernel=KERNEL_BRE, chunk=256, power_scale=1e-3, backend=backend,
+            grad_geometry=False, grad_extras=extras,
+        )
+        return jnp.sum(out * W)
+
+    args = (beams.power_start, beams.radius, trf)
+    g_on = jax.grad(lambda *a: loss(*a, True, "xla"), (0, 1, 2))(*args)
+    g_off_x = jax.grad(lambda *a: loss(*a, False, "xla"), (0, 1, 2))(*args)
+    monkeypatch.setattr(bg, "PALLAS_BWD_ENABLED", True)
+    monkeypatch.setattr(bg, "PALLAS_BWD_MODE", "fused")
+    g_off_p = jax.grad(lambda *a: loss(*a, False, "pallas"), (0, 1, 2))(*args)
+    # radius grads off
+    assert np.abs(np.asarray(g_off_x[1])).max() == 0.0
+    assert np.abs(np.asarray(g_off_p[1])).max() == 0.0
+    # power/tr grads unchanged vs extras=True
+    for k in (0, 2):
+        ref = np.asarray(g_on[k])
+        for g in (g_off_x[k], g_off_p[k]):
+            assert np.abs(np.asarray(g) - ref).max() <= 2e-4 * (np.abs(ref).max() + 1e-9)
+    # and radius grads were actually nonzero when on
+    assert np.abs(np.asarray(g_on[1])).max() > 0.0
