@@ -45,6 +45,19 @@ from ..scene.scene import Media
 KERNEL_BRE = 0
 KERNEL_COMPAT = 1
 
+# Pallas gather ray-tile width (lanes per grid step).  Swept on v5e with the
+# post-diet kernels at chunk 256: 256 -> 17.0, 512 -> 22.0, 1024 -> 25.2,
+# 2048 -> 26.2 Gpairs/s forward (bwd 13.6 / 18.2 / 21.6 / 22.9).  Rays are
+# padded up to a multiple of this; interpret-mode (CPU tests) uses a small
+# tile to avoid 8x padding waste on tiny inputs.
+PALLAS_TILE = 2048
+
+
+def _pallas_tile() -> int:
+    import jax as _jax
+
+    return PALLAS_TILE if _jax.default_backend() == "tpu" else 256
+
 
 def closest_points_segments(a0, a1, b0, b1):
     """Branchless vectorized ComputeClosestPoints (photonbeam.cpp:87-186).
@@ -309,7 +322,7 @@ def _pallas_forward(cfg, pb, seg):
 
     kernel, chunk, n_chunks, power_scale, min_sin, _grad_geom, _grad_extras = cfg
     R = seg["a0"].shape[0]
-    tile = 256  # measured best on v5e (15.5 Gpairs/s vs 10.6 at 128)
+    tile = _pallas_tile()
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {
@@ -372,7 +385,7 @@ def _gather_bwd_pallas(cfg, res, ct):
 
     pb, seg = res
     R = seg["a0"].shape[0]
-    tile = 256
+    tile = _pallas_tile()
     R_pad = ((R + tile - 1) // tile) * tile
     seg_p = seg
     if R_pad != R:
