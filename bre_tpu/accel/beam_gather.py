@@ -536,6 +536,166 @@ def gather_beams_bruteforce(
 
 
 # ---------------------------------------------------------------------------
+# Fully packed gather: beams compacted + packed ONCE per camera pass.
+#
+# The per-depth-step ``gather_beams_bruteforce`` re-pads and re-packs the
+# 350k-slot beam arrays on every call (forward AND backward).  Packed mode
+# moves the pack outside the custom op: the camera pass packs once, every
+# depth step consumes the same (n_chunks, C, NB) buffer, and the backward
+# emits cotangents directly in packed layout — AD transposes the single pack
+# back to the Beams SoA.  Fused-Pallas-backward cases only (grad_geometry=
+# False, KERNEL_BRE); other configs use the per-step path.
+# ---------------------------------------------------------------------------
+
+
+def pack_beams_compact(beams, chunk: int):
+    """Validity-compact and pack a Beams SoA into the Pallas chunk layout.
+    Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar)."""
+    from ..ops.pallas_gather import pack_beams
+
+    order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+    B = beams.capacity
+    n_chunks = max(1, -(-B // chunk))
+    Bp = n_chunks * chunk
+
+    def pad(x):
+        x = x[order]
+        return jnp.concatenate(
+            [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
+
+    pb = dict(
+        start=pad(beams.start),
+        end=pad(beams.end),
+        power_start=pad(beams.power_start),
+        power_end=pad(beams.power_end),
+        radius=pad(beams.radius),
+        valid_f=pad(beams.valid.astype(jnp.float32)),
+    )
+    return pack_beams(pb, chunk), jnp.sum(beams.valid).astype(jnp.float32)
+
+
+def _packed_forward(cfg, beams_packed, rays_packed, scal):
+    from ..ops.pallas_gather import pallas_gather_forward
+
+    chunk, tile, power_scale, min_sin, _grad_extras = cfg
+    scalars = jnp.stack(
+        [jnp.asarray(scal["cam_radius"], jnp.float32),
+         jnp.float32(power_scale), jnp.float32(min_sin),
+         jnp.asarray(scal["n_valid"], jnp.float32)]
+    ).reshape(1, 4)
+    out = pallas_gather_forward(rays_packed, beams_packed, scalars, tile, chunk)
+    n_tiles = rays_packed.shape[0]
+    return out[:, :3, :].transpose(0, 2, 1).reshape(n_tiles * tile, 3)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_core_packed(cfg, beams_packed, rays_packed, scal):
+    """cfg = (chunk, tile, power_scale, min_sin_theta, grad_extras).
+
+    beams_packed: (n_chunks, C, NB); rays_packed: (n_tiles, NF, T);
+    scal: dict(cam_radius=(), n_valid=()).  Returns (n_tiles*T, 3).
+    """
+    return _packed_forward(cfg, beams_packed, rays_packed, scal)
+
+
+def _packed_fwd(cfg, beams_packed, rays_packed, scal):
+    return _packed_forward(cfg, beams_packed, rays_packed, scal), (
+        beams_packed, rays_packed, scal)
+
+
+def _packed_bwd(cfg, res, ct):
+    from ..ops.pallas_gather import RF_G, RF_SIGS, RF_TR
+    from ..ops.pallas_gather_bwd import (
+        DR_CAMR,
+        DR_G,
+        DR_SIGS,
+        DR_TR,
+        pallas_gather_backward_fused,
+    )
+
+    chunk, tile, power_scale, min_sin, grad_extras = cfg
+    beams_packed, rays_packed, scal = res
+    n_tiles = rays_packed.shape[0]
+    ct_packed = jnp.concatenate(
+        [ct.reshape(n_tiles, tile, 3).transpose(0, 2, 1),
+         jnp.zeros((n_tiles, 5, tile))], 1)
+    scalars4 = jnp.stack(
+        [jnp.asarray(scal["cam_radius"], jnp.float32),
+         jnp.float32(power_scale), jnp.float32(min_sin),
+         jnp.asarray(scal["n_valid"], jnp.float32)]
+    ).reshape(1, 4)
+    d_rays8, d_beams = pallas_gather_backward_fused(
+        rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
+        want_extras=grad_extras)
+    d_rays = jnp.zeros_like(rays_packed)
+    d_rays = d_rays.at[:, RF_TR:RF_TR + 3, :].set(d_rays8[:, DR_TR:DR_TR + 3, :])
+    d_rays = d_rays.at[:, RF_SIGS:RF_SIGS + 3, :].set(
+        d_rays8[:, DR_SIGS:DR_SIGS + 3, :])
+    d_rays = d_rays.at[:, RF_G:RF_G + 1, :].set(d_rays8[:, DR_G:DR_G + 1, :])
+    d_scal = dict(
+        cam_radius=(jnp.sum(d_rays8[:, DR_CAMR]) if grad_extras
+                    else jnp.zeros(())),
+        n_valid=jnp.zeros(()),
+    )
+    return d_beams, d_rays, d_scal
+
+
+_gather_core_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def gather_beams_packed(
+    beams_packed: jnp.ndarray,  # (n_chunks, C, NB) from pack_beams_compact
+    n_valid: jnp.ndarray,  # () f32 live-beam count
+    media: Media,
+    seg_a0: jnp.ndarray,
+    seg_a1: jnp.ndarray,
+    seg_dir: jnp.ndarray,
+    seg_medium: jnp.ndarray,
+    seg_tr_full: jnp.ndarray,
+    cam_radius,
+    chunk: int,
+    power_scale: float = 1.0,
+    min_sin_theta: float = 0.05,
+    grad_extras: bool = True,
+) -> jnp.ndarray:
+    """Packed-mode gather (KERNEL_BRE, geometry stop-gradient): per-ray
+    medium factors are gathered here; rays are packed per depth step (cheap,
+    R-sized); the beam buffer is reused across all depth steps."""
+    from ..ops.pallas_gather import pack_rays
+
+    R = seg_a0.shape[0]
+    _, sigma_s_seg, g_seg, _, seg_in_med = gather_medium(media, seg_medium)
+    sgg = jax.lax.stop_gradient
+    seg = dict(
+        a0=sgg(seg_a0),
+        a1=sgg(seg_a1),
+        dir=sgg(seg_dir),
+        len=sgg(jnp.maximum(length(seg_a1 - seg_a0), 1e-30)),
+        tr_full=seg_tr_full,
+        sigma_s=sigma_s_seg,
+        g=g_seg,
+        in_med_f=seg_in_med.astype(jnp.float32),
+    )
+    tile = _pallas_tile()
+    R_pad = ((R + tile - 1) // tile) * tile
+    if R_pad != R:
+        seg = {
+            k: jnp.concatenate(
+                [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0)
+            for k, v in seg.items()
+        }
+    rays_packed = pack_rays(seg, tile)
+    scal = dict(
+        cam_radius=jnp.asarray(cam_radius, jnp.float32),
+        n_valid=jnp.asarray(n_valid, jnp.float32),
+    )
+    cfg = (int(chunk), int(tile), float(power_scale), float(min_sin_theta),
+           bool(grad_extras))
+    out = _gather_core_packed(cfg, beams_packed, rays_packed, scal)
+    return out[:R]
+
+
+# ---------------------------------------------------------------------------
 # LBVH-culled tile gather
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,8 @@ from ..accel.beam_gather import (
     compact_beams,
     gather_beams_bruteforce,
     gather_beams_lbvh,
+    gather_beams_packed,
+    pack_beams_compact,
     tile_aabbs,
 )
 from ..accel.lbvh import build_lbvh, query_aabb_collect
@@ -117,9 +119,15 @@ def camera_pass_by_pixels(
     R = p_raster_base.shape[0]
     kern = KERNEL_COMPAT if cfg.kernel == "compat" else KERNEL_BRE
     use_lbvh = cfg.gather == "lbvh" and cfg.rendermedia
+    # Packed mode (fused-Pallas-backward configs): compact + pack the beam
+    # buffer ONCE; every depth step (fwd and bwd) reuses it.
+    use_packed = (cfg.gather == "pallas" and not cfg.grad_geometry
+                  and kern == KERNEL_BRE and cfg.rendermedia)
     if use_lbvh:
         bmin, bmax = beam_aabbs(beams, beam_radius)
         bvh = build_lbvh(bmin, bmax, beams.valid)
+    elif use_packed:
+        beams_packed, n_valid_beams = pack_beams_compact(beams, cfg.gather_chunk)
     elif cfg.rendermedia:
         # one validity sort serves every depth step's gather (compact_beams)
         beams = compact_beams(beams)
@@ -195,6 +203,14 @@ def camera_pass_by_pixels(
                 # such rays, photonbeambvh.cpp:685; this is the batched
                 # equivalent.)
                 def _gather_rays(o_, e_, d_, med_, tr_):
+                    if use_packed:
+                        return gather_beams_packed(
+                            beams_packed, n_valid_beams, scene.media,
+                            o_, e_, d_, med_, tr_, beam_radius,
+                            chunk=cfg.gather_chunk,
+                            power_scale=1.0 / float(photons_per_iter),
+                            grad_extras=cfg.grad_extras,
+                        )
                     return gather_beams_bruteforce(
                         beams,
                         scene.media,

@@ -130,3 +130,39 @@ def test_grad_extras_off_zeroes_radius_g(monkeypatch):
             assert np.abs(np.asarray(g) - ref).max() <= 2e-4 * (np.abs(ref).max() + 1e-9)
     # and radius grads were actually nonzero when on
     assert np.abs(np.asarray(g_on[1])).max() > 0.0
+
+
+def test_packed_gather_matches_bruteforce():
+    """Packed mode (beams packed once, packed-layout custom VJP) must agree
+    with the per-step XLA path for both the primal and medium-param grads."""
+    from bre_tpu.accel.beam_gather import (
+        gather_beams_packed, pack_beams_compact)
+
+    beams, media, a0, a1, sd, med, trf = _setup(B=700, R=300, seed=3)
+    W = jnp.asarray(np.random.RandomState(9).rand(300, 3), jnp.float32)
+
+    def loss_ref(ps, ss, trf_):
+        bb = beams._replace(power_start=ps)
+        md = media._replace(sigma_s=ss)
+        out = gather_beams_bruteforce(
+            bb, md, a0, a1, sd, med, trf_, jnp.float32(0.2),
+            kernel=KERNEL_BRE, chunk=256, power_scale=1e-3, backend="xla",
+            grad_geometry=False)
+        return jnp.sum(out * W), out
+
+    def loss_packed(ps, ss, trf_):
+        bb = beams._replace(power_start=ps)
+        md = media._replace(sigma_s=ss)
+        bp, nv = pack_beams_compact(bb, 256)
+        out = gather_beams_packed(
+            bp, nv, md, a0, a1, sd, med, trf_, jnp.float32(0.2), chunk=256,
+            power_scale=1e-3)
+        return jnp.sum(out * W), out
+
+    args = (beams.power_start, media.sigma_s, trf)
+    (lx, ox), gx = jax.value_and_grad(loss_ref, (0, 1, 2), has_aux=True)(*args)
+    (lp, op), gp = jax.value_and_grad(loss_packed, (0, 1, 2), has_aux=True)(*args)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox), rtol=3e-4, atol=1e-8)
+    for x, p in zip(gx, gp):
+        x, p = np.asarray(x), np.asarray(p)
+        assert np.abs(x - p).max() <= 3e-4 * (np.abs(x).max() + 1e-9)
