@@ -51,12 +51,35 @@ KERNEL_COMPAT = 1
 # padded up to a multiple of this; interpret-mode (CPU tests) uses a small
 # tile to avoid 8x padding waste on tiny inputs.
 PALLAS_TILE = 2048
+# Pairs per (tile x chunk) grid block, bounding VMEM: each (C,T) f32
+# intermediate is chunk*tile*4 bytes and the kernels keep ~6-10 live.
+# 2048 x 256 measured ~10 MB peak; 2048 x 512 OOMs the 16 MB VMEM.
+_MAX_BLOCK_PAIRS = 2048 * 256
 
 
-def _pallas_tile() -> int:
+def _pallas_tile(chunk: int = 256, heavy: bool = False) -> int:
+    """Ray-tile width for the Pallas gather kernels.  ``heavy`` halves the
+    pair budget — the fused backward with grad_extras=True keeps extra (C,T)
+    intermediates (radius/g cotangent products) live and OOMs VMEM at the
+    full 2048 x 256 block."""
     import jax as _jax
 
-    return PALLAS_TILE if _jax.default_backend() == "tpu" else 256
+    if _jax.default_backend() != "tpu":
+        return 256  # interpret mode: avoid padding waste on tiny tests
+    budget = _MAX_BLOCK_PAIRS // (2 if heavy else 1)
+    tile = min(PALLAS_TILE, max(1, budget // max(chunk, 1)))
+    return max(256, (tile // 256) * 256)
+
+
+def _effective_chunk(chunk: int, Bp: int) -> int:
+    """Beam-chunk width actually used by the Pallas kernels.  The caller's
+    ``gather_chunk`` bounds the XLA recompute path's memory; the Pallas grid
+    is free to re-chunk the same padded buffer.  chunk > 256 OOMs VMEM at
+    useful ray tiles (measured: 512x1024 and 1024x512 blocks both exceed the
+    16 MB scoped limit), so cap at 256 whenever the buffer re-chunks evenly."""
+    if chunk > 256 and Bp % 256 == 0:
+        return 256
+    return chunk
 
 
 def closest_points_segments(a0, a1, b0, b1):
@@ -321,8 +344,9 @@ def _pallas_forward(cfg, pb, seg):
     from ..ops.pallas_gather import pack_beams, pack_rays, pallas_gather_forward
 
     kernel, chunk, n_chunks, power_scale, min_sin, _grad_geom, _grad_extras = cfg
+    chunk = _effective_chunk(chunk, pb["radius"].shape[0])
     R = seg["a0"].shape[0]
-    tile = _pallas_tile()
+    tile = _pallas_tile(chunk)
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {
@@ -384,8 +408,9 @@ def _gather_bwd_pallas(cfg, res, ct):
     from ..ops.pallas_gather import BF_PE, BF_PS, BF_RAD
 
     pb, seg = res
+    chunk = _effective_chunk(chunk, pb["radius"].shape[0])
     R = seg["a0"].shape[0]
-    tile = _pallas_tile()
+    tile = _pallas_tile(chunk, heavy=grad_extras)
     R_pad = ((R + tile - 1) // tile) * tile
     seg_p = seg
     if R_pad != R:
@@ -553,6 +578,7 @@ def pack_beams_compact(beams, chunk: int):
     Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar)."""
     from ..ops.pallas_gather import pack_beams
 
+    chunk = min(chunk, 256)  # see _effective_chunk: larger chunks OOM VMEM
     order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
     B = beams.capacity
     n_chunks = max(1, -(-B // chunk))
@@ -676,7 +702,7 @@ def gather_beams_packed(
         g=g_seg,
         in_med_f=seg_in_med.astype(jnp.float32),
     )
-    tile = _pallas_tile()
+    tile = _pallas_tile(min(chunk, 256), heavy=grad_extras)
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {
@@ -689,8 +715,8 @@ def gather_beams_packed(
         cam_radius=jnp.asarray(cam_radius, jnp.float32),
         n_valid=jnp.asarray(n_valid, jnp.float32),
     )
-    cfg = (int(chunk), int(tile), float(power_scale), float(min_sin_theta),
-           bool(grad_extras))
+    cfg = (int(min(chunk, 256)), int(tile), float(power_scale),
+           float(min_sin_theta), bool(grad_extras))
     out = _gather_core_packed(cfg, beams_packed, rays_packed, scal)
     return out[:R]
 
