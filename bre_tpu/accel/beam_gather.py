@@ -523,13 +523,15 @@ def gather_beams_bruteforce(
     # assume_compacted=True (see compact_beams).
     n_valid_beams = jnp.sum(beams.valid).astype(jnp.float32)
     if assume_compacted:
-        order = None
+        order = inv_order = None
     else:
         order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+        inv_order = _inverse_permutation(order)
 
     def pad(x):
         if order is not None:
-            x = x[order]
+            x = (permute_rows(x, order, inv_order)
+                 if jnp.issubdtype(x.dtype, jnp.floating) else x[order])
         return jnp.concatenate([x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
 
     pb = dict(
@@ -573,6 +575,37 @@ def gather_beams_bruteforce(
 # ---------------------------------------------------------------------------
 
 
+def _permute_rows_fwd(x, order, inv_order):
+    return x[order], (order, inv_order)
+
+
+def _permute_rows_bwd(res, ct):
+    import numpy as np
+
+    order, inv_order = res
+    f0 = np.zeros(order.shape, jax.dtypes.float0)
+    return ct[inv_order], f0, f0
+
+
+@jax.custom_vjp
+def permute_rows(x, order, inv_order):
+    """``x[order]`` for a permutation ``order``, with the backward written as
+    a GATHER by the inverse permutation instead of XLA's generic scatter.
+
+    The AD transpose of a gather is a scatter; on TPU a 350k-row f32 scatter
+    measured 16 ms (~0.26 GB/s) while the equivalent inverse-permutation
+    gather is bandwidth-speed — this op was 4 x 16 ms per bench iteration of
+    the compaction backward before the rewrite."""
+    return x[order]
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def _inverse_permutation(order):
+    return jax.lax.stop_gradient(jnp.argsort(order))
+
+
 def pack_beams_compact(beams, chunk: int):
     """Validity-compact and pack a Beams SoA into the Pallas chunk layout.
     Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar)."""
@@ -580,12 +613,14 @@ def pack_beams_compact(beams, chunk: int):
 
     chunk = min(chunk, 256)  # see _effective_chunk: larger chunks OOM VMEM
     order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+    inv_order = _inverse_permutation(order)
     B = beams.capacity
     n_chunks = max(1, -(-B // chunk))
     Bp = n_chunks * chunk
 
     def pad(x):
-        x = x[order]
+        x = permute_rows(x, order, inv_order) if jnp.issubdtype(
+            x.dtype, jnp.floating) else x[order]
         return jnp.concatenate(
             [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
 
@@ -871,14 +906,18 @@ def gather_beams_lbvh(
 def compact_beams(beams):
     """Sort a Beams SoA so valid beams come first (stable).  Do this once per
     iteration, then call the gather with assume_compacted=True so each
-    path-depth step skips the re-sort."""
+    path-depth step skips the re-sort.  Float fields go through
+    ``permute_rows`` so the backward is an inverse-permutation gather, not a
+    scatter."""
     order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+    inv_order = _inverse_permutation(order)
+    p = lambda x: permute_rows(x, order, inv_order)
     return beams._replace(
-        start=beams.start[order],
-        end=beams.end[order],
-        power_start=beams.power_start[order],
-        power_end=beams.power_end[order],
-        radius=beams.radius[order],
+        start=p(beams.start),
+        end=p(beams.end),
+        power_start=p(beams.power_start),
+        power_end=p(beams.power_end),
+        radius=p(beams.radius),
         medium=beams.medium[order],
         valid=beams.valid[order],
     )
