@@ -10,6 +10,9 @@ TPU-first design: pbrt dispatches per-ray through a BVH with virtual
 of primitives as one dense broadcasted computation — a (R, N) masked min —
 which is the right trade on TPU for the BASELINE scene sizes (tens of
 primitives): zero divergence, full VPU utilization, trivially differentiable.
+Above ``_PRIM_CHUNK`` primitives the sweep runs as a ``lax.scan`` over
+primitive chunks with a running nearest-hit carry, bounding memory at
+O(rays x chunk) for large tessellations (plymesh/loopsubdiv/nurbs grids).
 Scenes large enough to need a tree use the shared LBVH (bre_tpu/accel/lbvh.py)
 for *photon structures*; surface scenes in every BASELINE config are small.
 
@@ -20,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.math import cross, dot, normalize
@@ -59,7 +63,9 @@ def ray_sphere(o, d, center, radius, t_min, t_max):
     b = 2.0 * jnp.sum(oc * d[:, None, :], -1)  # (R,N)
     c = jnp.sum(oc * oc, -1) - (radius * radius)[None, :]
     disc = b * b - 4.0 * a * c
-    ok = disc > 0.0
+    # radius > 0 also rejects zero-radius padding spheres, whose huge center
+    # coordinates can make disc spuriously positive via f32 cancellation
+    ok = (disc > 0.0) & (radius > 0.0)[None, :]
     sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
     # numerically stable roots (pbrt Quadratic, pbrt.h:1049-1069)
     sign_b = jnp.where(b >= 0.0, 1.0, -1.0)  # copysign; jnp.sign(0)=0 breaks b=0
@@ -100,6 +106,61 @@ def ray_triangle(o, d, p0, p1, p2, t_min, t_max):
     return jnp.where(ok & inside & in_range, t, _BIG)
 
 
+# Primitives per dense sweep chunk: bounds the (R, chunk) intermediates so
+# large meshes (plymesh / loopsubdiv tessellations) stay within HBM instead
+# of materializing (R, N) for the whole scene.  Small scenes (every BASELINE
+# config) take the single-chunk fast path with zero overhead.
+_PRIM_CHUNK = 8192
+
+
+def _nearest_over_chunks(prim_ts, N: int, t_min, t_max):
+    """Running (best_t, best_idx) of ``prim_ts(lo, size) -> (R, size)`` over
+    primitive chunks via ``lax.scan`` (memory O(R * chunk))."""
+    if N <= _PRIM_CHUNK:
+        ts = prim_ts(0, N)
+        i = jnp.argmin(ts, axis=1)
+        return jnp.take_along_axis(ts, i[:, None], 1)[:, 0], i.astype(jnp.int32)
+
+    n_chunks = -(-N // _PRIM_CHUNK)
+    R = t_min.shape[0]
+
+    def body(carry, ci):
+        best_t, best_i = carry
+        lo = ci * _PRIM_CHUNK
+        ts = prim_ts(lo, _PRIM_CHUNK)  # padded tail yields _BIG
+        i = jnp.argmin(ts, axis=1)
+        tb = jnp.take_along_axis(ts, i[:, None], 1)[:, 0]
+        better = tb < best_t
+        best_t = jnp.where(better, tb, best_t)
+        best_i = jnp.where(better, lo + i.astype(jnp.int32), best_i)
+        return (best_t, best_i), None
+
+    init = (jnp.full((R,), _BIG), jnp.zeros((R,), jnp.int32))
+    (best_t, best_i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return best_t, best_i
+
+
+def _pad_prims(arr, N: int):
+    """Pad a primitive array to a chunk multiple with far-away degenerates."""
+    if N <= _PRIM_CHUNK:
+        return arr
+    Np = (-(-N // _PRIM_CHUNK)) * _PRIM_CHUNK
+    if Np == N:
+        return arr
+    pad = jnp.full((Np - N,) + arr.shape[1:], jnp.float32(1e9), arr.dtype)
+    return jnp.concatenate([arr, pad], 0)
+
+
+def _pad_prims_zero(arr, N: int):
+    if N <= _PRIM_CHUNK:
+        return arr
+    Np = (-(-N // _PRIM_CHUNK)) * _PRIM_CHUNK
+    if Np == N:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.zeros((Np - N,) + arr.shape[1:], arr.dtype)], 0)
+
+
 def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
               t_min=None) -> Hit:
     """Nearest-hit query for a ray batch (Scene::Intersect, scene.cpp:37-44)."""
@@ -113,24 +174,35 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
     best_idx = jnp.zeros((R,), jnp.int32)
 
     if scene.n_spheres > 0:
-        ts = ray_sphere(o, d, scene.spheres.center, scene.spheres.radius, t_min, t_max)
-        i = jnp.argmin(ts, axis=1)
-        tbest = jnp.take_along_axis(ts, i[:, None], 1)[:, 0]
+        Ns = scene.n_spheres
+        c_p = _pad_prims(scene.spheres.center, Ns)
+        r_p = _pad_prims_zero(scene.spheres.radius, Ns)
+
+        def sphere_ts(lo, size):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
+            return ray_sphere(o, d, sl(c_p), sl(r_p), t_min, t_max)
+
+        tbest, i = _nearest_over_chunks(sphere_ts, Ns, t_min, t_max)
         better = tbest < best_t
         best_t = jnp.where(better, tbest, best_t)
         best_kind = jnp.where(better, SHAPE_SPHERE, best_kind)
-        best_idx = jnp.where(better, i.astype(jnp.int32), best_idx)
+        best_idx = jnp.where(better, jnp.minimum(i, Ns - 1), best_idx)
 
     if scene.n_triangles > 0:
-        ts = ray_triangle(
-            o, d, scene.triangles.p0, scene.triangles.p1, scene.triangles.p2, t_min, t_max
-        )
-        i = jnp.argmin(ts, axis=1)
-        tbest = jnp.take_along_axis(ts, i[:, None], 1)[:, 0]
+        Nt = scene.n_triangles
+        p0_p = _pad_prims(scene.triangles.p0, Nt)
+        p1_p = _pad_prims(scene.triangles.p1, Nt)
+        p2_p = _pad_prims(scene.triangles.p2, Nt)
+
+        def tri_ts(lo, size):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
+            return ray_triangle(o, d, sl(p0_p), sl(p1_p), sl(p2_p), t_min, t_max)
+
+        tbest, i = _nearest_over_chunks(tri_ts, Nt, t_min, t_max)
         better = tbest < best_t
         best_t = jnp.where(better, tbest, best_t)
         best_kind = jnp.where(better, SHAPE_TRIANGLE, best_kind)
-        best_idx = jnp.where(better, i.astype(jnp.int32), best_idx)
+        best_idx = jnp.where(better, jnp.minimum(i, Nt - 1), best_idx)
 
     valid = best_t < _BIG
     p = o + best_t[:, None] * d
@@ -227,16 +299,43 @@ def intersect_p(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max) -> jnp.ndar
     R = o.shape[0]
     t_min = jnp.full((R,), jnp.float32(1e-4))
     occluded = jnp.zeros((R,), bool)
+
+    def any_over_chunks(hit_fn, N):
+        if N <= _PRIM_CHUNK:
+            return jnp.any(hit_fn(0, N), axis=1)
+        n_chunks = -(-N // _PRIM_CHUNK)
+
+        def body(acc, ci):
+            return acc | jnp.any(hit_fn(ci * _PRIM_CHUNK, _PRIM_CHUNK), 1), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((R,), bool), jnp.arange(n_chunks))
+        return acc
+
     if scene.n_spheres > 0:
-        ts = ray_sphere(o, d, scene.spheres.center, scene.spheres.radius, t_min, t_max)
-        has_mat = (scene.spheres.material >= 0)[None, :]
-        occluded |= jnp.any((ts < _BIG) & has_mat, axis=1)
+        Ns = scene.n_spheres
+        c_p = _pad_prims(scene.spheres.center, Ns)
+        r_p = _pad_prims_zero(scene.spheres.radius, Ns)
+        m_p = _pad_prims_zero((scene.spheres.material >= 0), Ns)
+
+        def sphere_hits(lo, size):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
+            ts = ray_sphere(o, d, sl(c_p), sl(r_p), t_min, t_max)
+            return (ts < _BIG) & sl(m_p)[None, :]
+
+        occluded |= any_over_chunks(sphere_hits, Ns)
     if scene.n_triangles > 0:
-        ts = ray_triangle(
-            o, d, scene.triangles.p0, scene.triangles.p1, scene.triangles.p2, t_min, t_max
-        )
-        has_mat = (scene.triangles.material >= 0)[None, :]
-        occluded |= jnp.any((ts < _BIG) & has_mat, axis=1)
+        Nt = scene.n_triangles
+        p0_p, p1_p, p2_p = (_pad_prims(x, Nt) for x in
+                            (scene.triangles.p0, scene.triangles.p1,
+                             scene.triangles.p2))
+        m_p = _pad_prims_zero((scene.triangles.material >= 0), Nt)
+
+        def tri_hits(lo, size):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
+            ts = ray_triangle(o, d, sl(p0_p), sl(p1_p), sl(p2_p), t_min, t_max)
+            return (ts < _BIG) & sl(m_p)[None, :]
+
+        occluded |= any_over_chunks(tri_hits, Nt)
     return occluded
 
 
