@@ -364,9 +364,11 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
         elif tok == "ReverseOrientation":
             gs.reverse_orientation = not gs.reverse_orientation
         elif tok == "Material":
+            # NOTE: pbrtMaterial does NOT clear a pending AreaLightSource —
+            # graphicsState.areaLight persists until AttributeEnd
+            # (reference api.cpp:1130-1137 vs :1216-1227)
             mat_type = ts.next().strip('"')
             gs.material = make_material(mat_type, parse_params(ts))
-            gs.area_light = None
         elif tok == "MakeNamedMaterial":
             name = ts.next().strip('"')
             p = parse_params(ts)
