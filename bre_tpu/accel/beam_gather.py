@@ -340,11 +340,26 @@ _gather_core.defvjp(_gather_fwd, _gather_bwd)
 # --- Pallas-forward variant: fused VPU kernel for the primal, same chunked
 # XLA recompute for the backward (bre_tpu/ops/pallas_gather.py) ---
 
+def _fold_kernel_inputs(pb, seg, power_scale):
+    """Fold power_scale * in_med into sigma_s rows and validity into beam
+    powers — the algebra-neutral pre-multiplies the Pallas kernels assume
+    (pallas_gather docstring).  Callers inside a custom VJP must chain the
+    returned cotangents by the same factors (see _gather_bwd_pallas)."""
+    seg_f = dict(seg)
+    seg_f["sigma_s"] = seg["sigma_s"] * (
+        jnp.float32(power_scale) * seg["in_med_f"])[:, None]
+    pb_f = dict(pb)
+    pb_f["power_start"] = pb["power_start"] * pb["valid_f"][:, None]
+    pb_f["power_end"] = pb["power_end"] * pb["valid_f"][:, None]
+    return pb_f, seg_f
+
+
 def _pallas_forward(cfg, pb, seg):
     from ..ops.pallas_gather import pack_beams, pack_rays, pallas_gather_forward
 
     kernel, chunk, n_chunks, power_scale, min_sin, _grad_geom, _grad_extras = cfg
     chunk = _effective_chunk(chunk, pb["radius"].shape[0])
+    pb, seg = _fold_kernel_inputs(pb, seg, power_scale)
     R = seg["a0"].shape[0]
     tile = _pallas_tile(chunk)
     R_pad = ((R + tile - 1) // tile) * tile
@@ -409,19 +424,22 @@ def _gather_bwd_pallas(cfg, res, ct):
 
     pb, seg = res
     chunk = _effective_chunk(chunk, pb["radius"].shape[0])
+    # same folds as the forward kernel consumed (cotangents chained below)
+    fold_sig = jnp.float32(power_scale) * seg["in_med_f"]  # (R,)
+    pb_f, seg_f = _fold_kernel_inputs(pb, seg, power_scale)
     R = seg["a0"].shape[0]
     tile = _pallas_tile(chunk, heavy=grad_extras)
     R_pad = ((R + tile - 1) // tile) * tile
-    seg_p = seg
+    seg_p = seg_f
     if R_pad != R:
         seg_p = {
             k: (v if k in ("cam_radius", "n_valid_beams") else jnp.concatenate(
                 [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0))
-            for k, v in seg.items()
+            for k, v in seg_f.items()
         }
     n_tiles = R_pad // tile
     rays_packed = pack_rays(seg_p, tile)
-    beams_packed = pack_beams(pb, chunk)
+    beams_packed = pack_beams(pb_f, chunk)
     ct_pad = jnp.concatenate([ct, jnp.zeros((R_pad - R, 3))], 0) if R_pad != R else ct
     ct_packed = jnp.concatenate(
         [ct_pad.reshape(n_tiles, tile, 3).transpose(0, 2, 1),
@@ -446,14 +464,16 @@ def _gather_bwd_pallas(cfg, res, ct):
         d_rays, d_beams = pallas_gather_backward(
             rays_packed, beams_packed, scalars, ct_packed, tile, chunk
         )
-    # unpack per-ray cotangents (n_tiles, 8, T) -> (R, ...)
+    # unpack per-ray cotangents (n_tiles, 8, T) -> (R, ...); chain through
+    # the folds (d sigma_s = d sigma_s' * power_scale * in_med, d power =
+    # d power' * valid)
     dr = d_rays.transpose(0, 2, 1).reshape(R_pad, 8)[:R]
     zero3 = jnp.zeros((R, 3))
     ct_seg = dict(
         a0=zero3, a1=zero3, dir=zero3,
         len=jnp.zeros((R,)),
         tr_full=dr[:, DR_TR:DR_TR + 3],
-        sigma_s=dr[:, DR_SIGS:DR_SIGS + 3],
+        sigma_s=dr[:, DR_SIGS:DR_SIGS + 3] * fold_sig[:, None],
         g=dr[:, DR_G],
         in_med_f=jnp.zeros((R,)),
         cam_radius=jnp.sum(dr[:, DR_CAMR]).reshape(()),
@@ -462,10 +482,11 @@ def _gather_bwd_pallas(cfg, res, ct):
     db = d_beams.reshape(n_chunks * chunk, -1)
     Bp = pb["radius"].shape[0]
     db = db[:Bp]
+    valid_col = pb["valid_f"][:, None]
     ct_pb = dict(
         start=jnp.zeros((Bp, 3)), end=jnp.zeros((Bp, 3)),
-        power_start=db[:, BF_PS:BF_PS + 3],
-        power_end=db[:, BF_PE:BF_PE + 3],
+        power_start=db[:, BF_PS:BF_PS + 3] * valid_col,
+        power_end=db[:, BF_PE:BF_PE + 3] * valid_col,
         radius=db[:, BF_RAD],
         valid_f=jnp.zeros((Bp,)),
     )
@@ -624,11 +645,14 @@ def pack_beams_compact(beams, chunk: int):
         return jnp.concatenate(
             [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
 
+    # validity folds into the beam powers (the Pallas kernels assume it;
+    # differentiable host-side multiply, so AD chains the cotangents)
+    valid_col = beams.valid.astype(jnp.float32)[:, None]
     pb = dict(
         start=pad(beams.start),
         end=pad(beams.end),
-        power_start=pad(beams.power_start),
-        power_end=pad(beams.power_end),
+        power_start=pad(beams.power_start * valid_col),
+        power_end=pad(beams.power_end * valid_col),
         radius=pad(beams.radius),
         valid_f=pad(beams.valid.astype(jnp.float32)),
     )
@@ -727,15 +751,18 @@ def gather_beams_packed(
     R = seg_a0.shape[0]
     _, sigma_s_seg, g_seg, _, seg_in_med = gather_medium(media, seg_medium)
     sgg = jax.lax.stop_gradient
+    in_med_f = seg_in_med.astype(jnp.float32)
     seg = dict(
         a0=sgg(seg_a0),
         a1=sgg(seg_a1),
         dir=sgg(seg_dir),
         len=sgg(jnp.maximum(length(seg_a1 - seg_a0), 1e-30)),
         tr_full=seg_tr_full,
-        sigma_s=sigma_s_seg,
+        # power_scale * in_med folds into sigma_s (kernel assumption;
+        # differentiable multiply outside the custom op -> AD chains it)
+        sigma_s=sigma_s_seg * (jnp.float32(power_scale) * in_med_f)[:, None],
         g=g_seg,
-        in_med_f=seg_in_med.astype(jnp.float32),
+        in_med_f=in_med_f,
     )
     tile = _pallas_tile(min(chunk, 256), heavy=grad_extras)
     R_pad = ((R + tile - 1) // tile) * tile

@@ -54,9 +54,13 @@ DR_CAMR = 7  # per-ray partial of d cam_radius
 
 
 def _pair_quantities(scalars_ref, rays_ref, beams_ref):
-    """Recompute the stop-gradient forward quantities on (C,T) tiles."""
+    """Recompute the stop-gradient forward quantities on (C,T) tiles.
+
+    Assumes the forward kernel's folded inputs (pallas_gather docstring):
+    power_scale and in_med live in the sigma_s rows, validity in the beam
+    powers — so neither appears here.
+    """
     cam_radius = scalars_ref[0, 0]
-    power_scale = scalars_ref[0, 1]
     min_sin = scalars_ref[0, 2]
 
     r_row = lambda k: rays_ref[0, k : k + 1, :]
@@ -91,7 +95,7 @@ def _pair_quantities(scalars_ref, rays_ref, beams_ref):
     width = jnp.maximum(cam_radius + b_col(BF_RAD), 1e-30)  # (C,1)
     inv_width = 1.0 / width
     r2 = dist2 * (inv_width * inv_width)
-    in_range = ((r2 < 1.0).astype(jnp.float32)) * b_col(BF_VALID) * r_row(RF_INMED)
+    in_range = (r2 < 1.0).astype(jnp.float32)
 
     cos_theta = sum(
         r_row(RF_DIR + c) * (d2[c] * jax.lax.rsqrt(jnp.maximum(e, 1e-30)))
@@ -117,10 +121,10 @@ def _pair_quantities(scalars_ref, rays_ref, beams_ref):
     iw2 = inv_width * inv_width
     dk1_dw = 0.75 * iw2 * (3.0 * r2 - 1.0)
 
-    base = power_scale * in_range * inv_sin  # shared factor (C,T)
+    base = in_range * inv_sin  # shared factor (C,T)
     return dict(
         base=base, rho=rho, drho_dg=drho_dg, k1=k1, dk1_dw=dk1_dw,
-        frac_b=t_cl, frac_c=jnp.clip(s, 0.0, 1.0),  # beam vs CAMERA fraction
+        frac_b=t_cl, frac_c=s,  # beam vs CAMERA fraction (s already clipped)
         r_row=r_row, b_col=b_col,
     )
 
