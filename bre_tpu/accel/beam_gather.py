@@ -629,8 +629,14 @@ def _inverse_permutation(order):
 
 def pack_beams_compact(beams, chunk: int):
     """Validity-compact and pack a Beams SoA into the Pallas chunk layout.
-    Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar)."""
-    from ..ops.pallas_gather import pack_beams
+    Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar).
+
+    The fields are stacked into ONE (B, NB) matrix *before* the compaction
+    permute, so the whole compaction is a single row gather (and its backward
+    a single inverse-permutation row gather) instead of six separate ones —
+    TPU gathers are latency-bound, and the per-field form measured ~20 ms per
+    bench iteration in fwd+bwd permutes."""
+    from ..ops.pallas_gather import NB
 
     chunk = min(chunk, 256)  # see _effective_chunk: larger chunks OOM VMEM
     order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
@@ -639,24 +645,28 @@ def pack_beams_compact(beams, chunk: int):
     n_chunks = max(1, -(-B // chunk))
     Bp = n_chunks * chunk
 
-    def pad(x):
-        x = permute_rows(x, order, inv_order) if jnp.issubdtype(
-            x.dtype, jnp.floating) else x[order]
-        return jnp.concatenate(
-            [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], 0)
-
     # validity folds into the beam powers (the Pallas kernels assume it;
     # differentiable host-side multiply, so AD chains the cotangents)
-    valid_col = beams.valid.astype(jnp.float32)[:, None]
-    pb = dict(
-        start=pad(beams.start),
-        end=pad(beams.end),
-        power_start=pad(beams.power_start * valid_col),
-        power_end=pad(beams.power_end * valid_col),
-        radius=pad(beams.radius),
-        valid_f=pad(beams.valid.astype(jnp.float32)),
-    )
-    return pack_beams(pb, chunk), jnp.sum(beams.valid).astype(jnp.float32)
+    valid_f = beams.valid.astype(jnp.float32)
+    valid_col = valid_f[:, None]
+    ps = beams.power_start * valid_col
+    pe = beams.power_end * valid_col
+    zeros = jnp.zeros((B,), jnp.float32)
+    cols = [
+        beams.start[:, 0], beams.start[:, 1], beams.start[:, 2],
+        beams.end[:, 0], beams.end[:, 1], beams.end[:, 2],
+        ps[:, 0], ps[:, 1], ps[:, 2],
+        pe[:, 0], pe[:, 1], pe[:, 2],
+        beams.radius,
+        valid_f,
+        zeros,
+        zeros,
+    ]
+    mat = jnp.stack(cols, 1)  # (B, NB) — same column layout as pack_beams
+    mat = permute_rows(mat, order, inv_order)
+    if Bp != B:
+        mat = jnp.concatenate([mat, jnp.zeros((Bp - B, NB))], 0)
+    return mat.reshape(n_chunks, chunk, NB), jnp.sum(valid_f)
 
 
 def _packed_forward(cfg, beams_packed, rays_packed, scal):
