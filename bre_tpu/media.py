@@ -171,7 +171,9 @@ def sample_homogeneous(
     sigma_t = sigma_a + sigma_s
     d_len = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-30))
     channel = jnp.minimum((u_channel * 3).astype(jnp.int32), 2)
-    sig_c = jnp.take_along_axis(sigma_t, channel[..., None], -1)[..., 0]
+    # one-hot select instead of take_along_axis: elementwise (no TPU gather)
+    onehot = (channel[..., None] == jnp.arange(3)).astype(sigma_t.dtype)
+    sig_c = jnp.sum(sigma_t * onehot, -1)
     # where-isolation: never divide by a clamped-tiny sigma on the live path —
     # the backward pass of log/sigma^2 overflows f32 for vacuum lanes.
     pos = sig_c > 1e-12

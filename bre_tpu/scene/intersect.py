@@ -115,11 +115,15 @@ _PRIM_CHUNK = 8192
 
 def _nearest_over_chunks(prim_ts, N: int, t_min, t_max):
     """Running (best_t, best_idx) of ``prim_ts(lo, size) -> (R, size)`` over
-    primitive chunks via ``lax.scan`` (memory O(R * chunk))."""
+    primitive chunks via ``lax.scan`` (memory O(R * chunk)).
+
+    best_t comes from ``jnp.min`` rather than take_along_axis(argmin): the
+    row gather is latency-bound on TPU and its AD transpose is a scatter-add;
+    the min's transpose is an elementwise eq-mask (same value, same gradient
+    target — ties broken identically by argmin's first-min convention)."""
     if N <= _PRIM_CHUNK:
         ts = prim_ts(0, N)
-        i = jnp.argmin(ts, axis=1)
-        return jnp.take_along_axis(ts, i[:, None], 1)[:, 0], i.astype(jnp.int32)
+        return jnp.min(ts, axis=1), jnp.argmin(ts, axis=1).astype(jnp.int32)
 
     n_chunks = -(-N // _PRIM_CHUNK)
     R = t_min.shape[0]
@@ -128,8 +132,8 @@ def _nearest_over_chunks(prim_ts, N: int, t_min, t_max):
         best_t, best_i = carry
         lo = ci * _PRIM_CHUNK
         ts = prim_ts(lo, _PRIM_CHUNK)  # padded tail yields _BIG
+        tb = jnp.min(ts, axis=1)
         i = jnp.argmin(ts, axis=1)
-        tb = jnp.take_along_axis(ts, i[:, None], 1)[:, 0]
         better = tb < best_t
         best_t = jnp.where(better, tb, best_t)
         best_i = jnp.where(better, lo + i.astype(jnp.int32), best_i)
