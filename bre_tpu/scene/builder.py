@@ -56,6 +56,12 @@ from .scene import (
     Triangles,
 )
 
+# Triangle count at which SceneBuilder builds an LBVH over the mesh instead
+# of leaving the dense (R, N) masked-min sweep: below this the dense sweep
+# wins on TPU (zero divergence, no gathers); above it the per-ray traversal's
+# O(log N) node visits win.  Tests override this to exercise both paths.
+BVH_MIN_TRIANGLES = 16384
+
 
 def _rgb(v) -> np.ndarray:
     a = np.asarray(v, np.float32)
@@ -1010,6 +1016,22 @@ class SceneBuilder:
         else:
             wmin = np.full(3, -1.0, np.float32)
             wmax = np.full(3, 1.0, np.float32)
+        # LBVH over the triangle soup for large meshes (the analog of pbrt
+        # wrapping primitives in a BVHAccel, api.cpp:1419-1428); small scenes
+        # keep the dense sweep (faster on TPU at those sizes).
+        tri_bvh = None
+        if len(self._tri) >= BVH_MIN_TRIANGLES:
+            from ..accel.lbvh import build_lbvh
+
+            p0 = np.asarray(triangles.p0)
+            p1 = np.asarray(triangles.p1)
+            p2 = np.asarray(triangles.p2)
+            bmin = np.minimum(np.minimum(p0, p1), p2)
+            bmax = np.maximum(np.maximum(p0, p1), p2)
+            tri_bvh = build_lbvh(
+                jnp.asarray(bmin), jnp.asarray(bmax),
+                jnp.ones((p0.shape[0],), bool),
+            )
         return Scene(
             spheres=spheres,
             triangles=triangles,
@@ -1020,4 +1042,5 @@ class SceneBuilder:
             camera_medium=jnp.int32(self.camera_medium),
             world_min=jnp.asarray(wmin, jnp.float32),
             world_max=jnp.asarray(wmax, jnp.float32),
+            tri_bvh=tri_bvh,
         )

@@ -13,8 +13,12 @@ primitives): zero divergence, full VPU utilization, trivially differentiable.
 Above ``_PRIM_CHUNK`` primitives the sweep runs as a ``lax.scan`` over
 primitive chunks with a running nearest-hit carry, bounding memory at
 O(rays x chunk) for large tessellations (plymesh/loopsubdiv/nurbs grids).
-Scenes large enough to need a tree use the shared LBVH (bre_tpu/accel/lbvh.py)
-for *photon structures*; surface scenes in every BASELINE config are small.
+Meshes past ``builder.BVH_MIN_TRIANGLES`` get the shared LBVH
+(bre_tpu/accel/lbvh.py, the same module photon structures use): the builder
+stores it on ``Scene.tri_bvh`` and ``intersect``/``intersect_p`` switch to a
+per-ray stack traversal (``_tri_bvh_traverse``) — O(log N) node visits per
+ray instead of the O(N) sweep, the analog of pbrt wrapping all primitives in
+a BVHAccel (api.cpp:1419-1428).
 
 All functions take ``(R, 3)`` ray batches and return SoA ``Hit`` arrays.
 """
@@ -66,7 +70,9 @@ def ray_sphere(o, d, center, radius, t_min, t_max):
     # radius > 0 also rejects zero-radius padding spheres, whose huge center
     # coordinates can make disc spuriously positive via f32 cancellation
     ok = (disc > 0.0) & (radius > 0.0)[None, :]
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where: sqrt'(0) = inf would leak NaN into the backward through
+    # the miss lanes even though their value is masked below
+    sqrt_d = jnp.sqrt(jnp.where(ok, disc, 1.0))
     # numerically stable roots (pbrt Quadratic, pbrt.h:1049-1069)
     sign_b = jnp.where(b >= 0.0, 1.0, -1.0)  # copysign; jnp.sign(0)=0 breaks b=0
     q = -0.5 * (b + sign_b * sqrt_d)
@@ -165,6 +171,128 @@ def _pad_prims_zero(arr, N: int):
         [arr, jnp.zeros((Np - N,) + arr.shape[1:], arr.dtype)], 0)
 
 
+def _ray_tri_pairwise(o, d, p0, p1, p2, t_min, t_max):
+    """Elementwise Moller-Trumbore: ray i vs triangle i -> (R,) t or BIG."""
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pv = cross(d, e2)
+    det = jnp.sum(e1 * pv, -1)
+    ok = jnp.abs(det) > _EPS
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tv = o - p0
+    u = jnp.sum(tv * pv, -1) * inv_det
+    qv = cross(tv, e1)
+    v = jnp.sum(d * qv, -1) * inv_det
+    t = jnp.sum(e2 * qv, -1) * inv_det
+    inside = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    in_range = (t > t_min) & (t < t_max)
+    return jnp.where(ok & inside & in_range, t, _BIG)
+
+
+def _tri_bvh_traverse(scene: Scene, o, d, t_min, t_max, any_hit: bool,
+                      max_stack: int = 64):
+    """Per-ray LBVH traversal over the triangle soup.
+
+    The TPU analog of pbrt's iterative BVH walk with a 64-deep local stack
+    (bvh.cpp BVHAccel::Intersect; same structure as the fork's beam BVH at
+    photonbeambvh.cpp:685-723): a ``lax.while_loop`` with an explicit
+    register stack, ``vmap``-ed over rays so lanes run in lockstep.  Node
+    boxes are pruned against the running nearest t (slab test).
+
+    Discrete by construction: all inputs are stop-gradiented and the caller
+    recomputes the winning t differentiably from the returned index, so
+    ``jax.grad`` never sees the while_loop (fixed-structure gradients, the
+    same convention the beam gather uses for BVH topology).
+
+    Returns (best_t (R,), best_idx (R,) int32) — for ``any_hit`` best_t is
+    the first accepted hit (traversal exits early) and only occlusion
+    (best_t < BIG) is meaningful.
+    """
+    bvh = scene.tri_bvh
+    sg = jax.lax.stop_gradient
+    o, d, t_min, t_max = sg(o), sg(d), sg(t_min), sg(t_max)
+    p0 = sg(scene.triangles.p0)
+    p1 = sg(scene.triangles.p1)
+    p2 = sg(scene.triangles.p2)
+    # For shadow rays, boundary-only surfaces (no material) never occlude
+    # (scene.cpp:63-92 IntersectTr skips null-BSDF interfaces).
+    occludes = scene.triangles.material >= 0 if any_hit else None
+
+    def one_ray(oo, dd, tmn, tmx):
+        safe_d = jnp.where(jnp.abs(dd) < 1e-20, jnp.float32(1e-20), dd)
+        inv_d = 1.0 / safe_d
+
+        def box_hit(bmin, bmax, best):
+            lo = (bmin - oo) * inv_d
+            hi = (bmax - oo) * inv_d
+            tn = jnp.maximum(jnp.max(jnp.minimum(lo, hi)), tmn)
+            tf = jnp.minimum(jnp.min(jnp.maximum(lo, hi)),
+                             jnp.minimum(best, tmx))
+            return tn <= tf
+
+        def tri_t(pid):
+            e1 = p1[pid] - p0[pid]
+            e2 = p2[pid] - p0[pid]
+            pv = jnp.cross(dd, e2)
+            det = jnp.dot(e1, pv)
+            ok = jnp.abs(det) > _EPS
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tv = oo - p0[pid]
+            u = jnp.dot(tv, pv) * inv_det
+            qv = jnp.cross(tv, e1)
+            v = jnp.dot(dd, qv) * inv_det
+            t = jnp.dot(e2, qv) * inv_det
+            good = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > tmn) & (t < tmx))
+            if any_hit:
+                good &= occludes[pid]
+            return jnp.where(good, t, _BIG)
+
+        def handle_child(c, stack, sp, best_t, best_i):
+            is_leaf = c < 0
+            leaf = jnp.where(is_leaf, ~c, 0)
+            internal = jnp.where(is_leaf, 0, c)
+            pid = bvh.prim_ids[leaf]
+            t = tri_t(pid)
+            better = is_leaf & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, pid, best_i)
+            push = (~is_leaf) & box_hit(bvh.node_min[internal],
+                                        bvh.node_max[internal], best_t)
+            can = sp < max_stack
+            stack = jnp.where(push & can,
+                              stack.at[jnp.minimum(sp, max_stack - 1)].set(c),
+                              stack)
+            sp = sp + jnp.where(push & can, 1, 0)
+            return stack, sp, best_t, best_i
+
+        def body(carry):
+            stack, sp, best_t, best_i = carry
+            sp = sp - 1
+            node = stack[sp]
+            stack, sp, best_t, best_i = handle_child(
+                bvh.left_child[node], stack, sp, best_t, best_i)
+            stack, sp, best_t, best_i = handle_child(
+                bvh.right_child[node], stack, sp, best_t, best_i)
+            if any_hit:  # early exit once occluded
+                sp = jnp.where(best_t < _BIG, 0, sp)
+            return stack, sp, best_t, best_i
+
+        stack = jnp.zeros((max_stack,), jnp.int32)  # stack[0] = root node 0
+        sp = jnp.where(box_hit(bvh.node_min[0], bvh.node_max[0], _BIG),
+                       jnp.int32(1), jnp.int32(0))
+        _, _, best_t, best_i = jax.lax.while_loop(
+            lambda c: c[1] > 0, body,
+            (stack, sp, jnp.asarray(_BIG), jnp.int32(0)))
+        return best_t, best_i
+
+    return jax.vmap(one_ray)(o, d, t_min, t_max)
+
+
+def _use_tri_bvh(scene: Scene) -> bool:
+    return scene.tri_bvh is not None and scene.tri_bvh.n_leaves > 1
+
+
 def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
               t_min=None) -> Hit:
     """Nearest-hit query for a ray batch (Scene::Intersect, scene.cpp:37-44)."""
@@ -194,15 +322,27 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
 
     if scene.n_triangles > 0:
         Nt = scene.n_triangles
-        p0_p = _pad_prims(scene.triangles.p0, Nt)
-        p1_p = _pad_prims(scene.triangles.p1, Nt)
-        p2_p = _pad_prims(scene.triangles.p2, Nt)
+        if _use_tri_bvh(scene):
+            t_ng, i = _tri_bvh_traverse(scene, o, d, t_min, t_max,
+                                        any_hit=False)
+            # Differentiable recompute of the winning t from the discrete
+            # index (the traversal itself is stop-gradiented); matches the
+            # dense path's gradient w.r.t. the selected triangle's vertices.
+            t_re = _ray_tri_pairwise(o, d, scene.triangles.p0[i],
+                                     scene.triangles.p1[i],
+                                     scene.triangles.p2[i], t_min, t_max)
+            tbest = jnp.where(t_ng < _BIG, t_re, _BIG)
+        else:
+            p0_p = _pad_prims(scene.triangles.p0, Nt)
+            p1_p = _pad_prims(scene.triangles.p1, Nt)
+            p2_p = _pad_prims(scene.triangles.p2, Nt)
 
-        def tri_ts(lo, size):
-            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
-            return ray_triangle(o, d, sl(p0_p), sl(p1_p), sl(p2_p), t_min, t_max)
+            def tri_ts(lo, size):
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
+                return ray_triangle(o, d, sl(p0_p), sl(p1_p), sl(p2_p),
+                                    t_min, t_max)
 
-        tbest, i = _nearest_over_chunks(tri_ts, Nt, t_min, t_max)
+            tbest, i = _nearest_over_chunks(tri_ts, Nt, t_min, t_max)
         better = tbest < best_t
         best_t = jnp.where(better, tbest, best_t)
         best_kind = jnp.where(better, SHAPE_TRIANGLE, best_kind)
@@ -329,17 +469,23 @@ def intersect_p(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max) -> jnp.ndar
         occluded |= any_over_chunks(sphere_hits, Ns)
     if scene.n_triangles > 0:
         Nt = scene.n_triangles
-        p0_p, p1_p, p2_p = (_pad_prims(x, Nt) for x in
-                            (scene.triangles.p0, scene.triangles.p1,
-                             scene.triangles.p2))
-        m_p = _pad_prims_zero((scene.triangles.material >= 0), Nt)
+        if _use_tri_bvh(scene):
+            t_any, _ = _tri_bvh_traverse(scene, o, d, t_min, t_max,
+                                         any_hit=True)
+            occluded |= t_any < _BIG
+        else:
+            p0_p, p1_p, p2_p = (_pad_prims(x, Nt) for x in
+                                (scene.triangles.p0, scene.triangles.p1,
+                                 scene.triangles.p2))
+            m_p = _pad_prims_zero((scene.triangles.material >= 0), Nt)
 
-        def tri_hits(lo, size):
-            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
-            ts = ray_triangle(o, d, sl(p0_p), sl(p1_p), sl(p2_p), t_min, t_max)
-            return (ts < _BIG) & sl(m_p)[None, :]
+            def tri_hits(lo, size):
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, size, 0)
+                ts = ray_triangle(o, d, sl(p0_p), sl(p1_p), sl(p2_p),
+                                  t_min, t_max)
+                return (ts < _BIG) & sl(m_p)[None, :]
 
-        occluded |= any_over_chunks(tri_hits, Nt)
+            occluded |= any_over_chunks(tri_hits, Nt)
     return occluded
 
 

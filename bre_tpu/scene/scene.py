@@ -183,6 +183,11 @@ class Scene(NamedTuple):
     camera_medium: jnp.ndarray  # () int32 medium the camera sits in
     world_min: jnp.ndarray  # (3,) world bounds (for distant/infinite lights)
     world_max: jnp.ndarray  # (3,)
+    # LBVH over the triangle soup (accel/lbvh.LBVH) for large meshes, or None
+    # (small scenes use the dense masked-min sweep — faster on TPU below a
+    # few thousand primitives).  Built by SceneBuilder.build(); the analog of
+    # pbrt wrapping all primitives in a BVHAccel (api.cpp:1419-1428).
+    tri_bvh: "object" = None
 
     @property
     def n_spheres(self) -> int:
