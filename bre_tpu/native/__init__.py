@@ -46,6 +46,72 @@ def _load() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+_PLY_SO = _DIR / "libply_reader.so"
+_PLY_SRC = _DIR / "ply_reader.cpp"
+_ply_lib = None
+_ply_tried = False
+
+
+def _load_ply() -> Optional[ctypes.CDLL]:
+    global _ply_lib, _ply_tried
+    if _ply_lib is not None or _ply_tried:
+        return _ply_lib
+    _ply_tried = True
+    try:
+        if (not _PLY_SO.exists()
+                or _PLY_SO.stat().st_mtime < _PLY_SRC.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", str(_PLY_SRC),
+                 "-o", str(_PLY_SO)],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(str(_PLY_SO))
+        lib.ply_load.restype = ctypes.c_void_p
+        lib.ply_load.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ply_copy.restype = None
+        lib.ply_copy.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ply_free.restype = None
+        lib.ply_free.argtypes = [ctypes.c_void_p]
+        _ply_lib = lib
+    except Exception:
+        _ply_lib = None
+    return _ply_lib
+
+
+def read_ply_native(path):
+    """Read a PLY mesh with the C++ reader (the rply analog, see
+    ply_reader.cpp).  Returns (verts (nv,3) float32, tris (nt,3) int32)
+    numpy arrays, or None if the native path is unavailable or parsing
+    fails (caller falls back to the pure-Python reader)."""
+    import numpy as np
+
+    lib = _load_ply()
+    if lib is None:
+        return None
+    nv = ctypes.c_int64(0)
+    nt = ctypes.c_int64(0)
+    h = lib.ply_load(str(path).encode(), ctypes.byref(nv), ctypes.byref(nt))
+    if not h:
+        return None
+    try:
+        verts = np.empty((nv.value, 3), np.float32)
+        tris = np.empty((nt.value, 3), np.int32)
+        lib.ply_copy(
+            h,
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    finally:
+        lib.ply_free(h)
+    return verts, tris
+
+
 def tokenize_native(text: str) -> Optional[List[str]]:
     """Tokenize with the C++ lexer; None if the native path is unavailable."""
     lib = _load()

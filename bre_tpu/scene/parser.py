@@ -506,9 +506,18 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 else:
                     b.sphere(c, r, material=gs.material, medium_inside=mi,
                              medium_outside=mo)
-            elif stype == "trianglemesh":
-                idx = [int(v) for v in p.get("indices", [])]
-                pts = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
+            elif stype in ("trianglemesh", "plymesh"):
+                if stype == "plymesh":
+                    # Shape "plymesh" "string filename" (plymesh.cpp via
+                    # rply); path relative to the scene file like Include
+                    from ..io.ply import read_ply
+
+                    fname = str(p.get("filename", "")).strip('"')
+                    pts, tri_idx = read_ply(ts.include_dir / fname)
+                    idx = [int(v) for v in tri_idx.reshape(-1)]
+                else:
+                    idx = [int(v) for v in p.get("indices", [])]
+                    pts = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
                 pts_w = pts @ ctm[:3, :3].T + ctm[:3, 3]
                 for k in range(0, len(idx), 3):
                     v0, v1, v2 = pts_w[idx[k]], pts_w[idx[k + 1]], pts_w[idx[k + 2]]
