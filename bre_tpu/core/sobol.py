@@ -135,7 +135,12 @@ def _generate_matrices(n_dims: int = N_SOBOL_DIMS) -> np.ndarray:
 
 
 _SOBOL_MATRICES_NP = _generate_matrices()
-SOBOL_MATRICES = jnp.asarray(_SOBOL_MATRICES_NP)
+# Keep the module-level table as NUMPY: this module may be first imported
+# inside a jit trace (integrators import it lazily), and a module-level
+# jnp.asarray would then capture a DynamicJaxprTracer in a global —
+# poisoning every later trace (UnexpectedTracerError).  jnp ops lift the
+# numpy constant on use.
+SOBOL_MATRICES = _SOBOL_MATRICES_NP
 
 ONE_MINUS_EPS = np.float32(0.99999994)
 
@@ -157,8 +162,9 @@ def sobol_sample_u32(a: jnp.ndarray, dim: int | jnp.ndarray,
     else:
         dimv = jnp.asarray(dim, jnp.int32)
         v = jnp.zeros_like(a)
+        mats = jnp.asarray(SOBOL_MATRICES)  # traced-index gather needs jnp
         for k in range(_SOBOL_BITS):
-            vk = SOBOL_MATRICES[dimv, k]
+            vk = mats[dimv, k]
             v = v ^ jnp.where(((a >> k) & 1).astype(bool), vk, jnp.uint32(0))
     return v ^ jnp.asarray(scramble, jnp.uint32)
 

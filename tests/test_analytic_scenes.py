@@ -11,11 +11,15 @@ transmittance closed-form through volpath.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from bre_tpu.core import transform as tfm
 from bre_tpu.integrators.volpath import VolPathConfig, render_volpath
 from bre_tpu.scene.builder import SceneBuilder
-from bre_tpu.scene.camera import make_perspective_camera
+from bre_tpu.scene.camera import (
+    make_orthographic_camera,
+    make_perspective_camera,
+)
 
 PI = np.pi
 
@@ -55,6 +59,43 @@ def test_sphere_area_light_shell():
     b.area_light_sphere((0, 0, 0), 1.0, (0.5, 0.5, 0.5), material=m, two_sided=True)
     avg = _avg_radiance(b.build(), spp=128)
     np.testing.assert_allclose(avg, 1.0, atol=0.04)
+
+
+# ---------------------------------------------------------------------------
+# RadianceMatches cartesian product (analytic_scenes.cpp:248-433): every
+# sampler x {perspective, orthographic} on the equilibrium sphere must land
+# on 1.0.  (The BDPT and MLT rows of the product live in tests/test_bdpt.py
+# and tests/test_mlt.py.)
+# ---------------------------------------------------------------------------
+
+SAMPLERS = ["random", "stratified", "02sequence", "sobol", "maxmindist",
+            "halton"]
+
+
+def _equilibrium_sphere():
+    b = SceneBuilder()
+    m = b.matte((0.5, 0.5, 0.5))
+    b.sphere((0, 0, 0), 1.0, material=m)
+    b.point_light((0, 0, 0), (PI, PI, PI))
+    return b.build()
+
+
+@pytest.mark.parametrize("sampler", SAMPLERS)
+@pytest.mark.parametrize("cam_kind", ["perspective", "orthographic"])
+def test_radiance_matches(sampler, cam_kind):
+    wh = 10
+    c2w = tfm.look_at((0, 0, 0), (0, 0, 1), (0, 1, 0))
+    if cam_kind == "perspective":
+        cam = make_perspective_camera(c2w, 60.0, wh, wh)
+    else:
+        cam = make_orthographic_camera(c2w, wh, wh, screen_scale=0.5)
+    img = render_volpath(
+        _equilibrium_sphere(), cam, wh, wh,
+        VolPathConfig(maxdepth=16, spp=64, sampler=sampler),
+    )
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(float(img.mean()), 1.0, atol=0.03)
 
 
 def test_homogeneous_slab_direct_transmittance():
