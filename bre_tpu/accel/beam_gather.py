@@ -775,6 +775,12 @@ def gather_beams_packed(
         in_med_f=in_med_f,
     )
     tile = _pallas_tile(min(chunk, 256), heavy=grad_extras)
+    # Small compacted-ray budgets (photonbeam's post-bounce tiers) must not
+    # pad to the full 2048 tile — a 102-ray step would sweep 95% dead lanes
+    # against every live beam chunk.  Cap the tile at the 256-multiple
+    # covering R (lane granularity: f32 VREG is 8x128; 256 keeps 2 lanes
+    # rows per op).
+    tile = min(tile, max(256, ((R + 255) // 256) * 256))
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {

@@ -241,6 +241,11 @@ def camera_pass_by_pixels(
                 # budget.
                 from ..accel.beam_gather import _pallas_tile
                 budgets = sorted({
+                    # one 256-lane kernel tile: post-bounce steps often hold
+                    # only ~100 in-medium rays (gather_beams_packed caps its
+                    # ray tile at the budget, so this sweeps 8x fewer lanes
+                    # against every live beam chunk than a full 2048 tile)
+                    min(256, R),
                     min(max(256, _pallas_tile(min(cfg.gather_chunk, 256),
                                               heavy=cfg.grad_extras)), R),
                     max(256, R // 4),
