@@ -417,6 +417,17 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
             mtype = str(p.get("type", "homogeneous")).strip('"')
             sa = _p3(p, "sigma_a", (1, 1, 1))
             ss = _p3(p, "sigma_s", (1, 1, 1))
+            preset = str(p.get("preset", "")).strip('"')
+            if preset:
+                # measured scattering table (MakeMedium, src/core/medium.cpp:
+                # 49-195: "preset" overrides sigma_a/sigma_s)
+                from ..bssrdf import get_medium_scattering_properties
+
+                props = get_medium_scattering_properties(preset)
+                if props is None:
+                    warnings.warn(f"medium preset '{preset}' unknown")
+                else:
+                    ss, sa = props
             g = _f(p, "g", 0.0)
             scale = _f(p, "scale", 1.0)
             if mtype == "homogeneous":

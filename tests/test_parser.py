@@ -99,3 +99,29 @@ def test_cli_end_to_end(tmp_path):
     img = read_pfm(out)
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_named_medium_preset():
+    """MakeNamedMedium "string preset": measured scattering table lookup
+    (MakeMedium, src/core/medium.cpp:49-195 — preset overrides sigmas)."""
+    import warnings as _warnings
+
+    import numpy as np
+
+    from bre_tpu.scene.parser import parse_string
+
+    txt = """
+    WorldBegin
+    MakeNamedMedium "milk" "string type" "homogeneous" "string preset" "Lowfat Milk"
+    MakeNamedMedium "bogus" "string type" "homogeneous" "string preset" "nope"
+    WorldEnd
+    """
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        scene = parse_string(txt).build()
+        msgs = [str(x.message) for x in w]
+    ss = np.asarray(scene.media.sigma_s)
+    np.testing.assert_allclose(ss[0], [0.89187, 1.5136, 2.532], atol=1e-4)
+    # unknown preset warns and keeps explicit/default sigmas
+    assert any("nope" in m for m in msgs)
+    np.testing.assert_allclose(ss[1], [1.0, 1.0, 1.0])
