@@ -637,9 +637,24 @@ def pack_beams_compact(beams, chunk: int):
     TPU gathers are latency-bound, and the per-field form measured ~20 ms per
     bench iteration in fwd+bwd permutes."""
     from ..ops.pallas_gather import NB
+    from .lbvh import morton3
 
     chunk = min(chunk, 256)  # see _effective_chunk: larger chunks OOM VMEM
-    order = jax.lax.stop_gradient(jnp.argsort(~beams.valid))
+    # Sort key: validity-major, Morton-minor.  Valid beams come first (the
+    # dead-chunk skip) AND consecutive beams are spatially local, so each
+    # packed chunk has a tight AABB — the basis of the chunk x tile block
+    # skip (_block_overlap_mask).  Same single argsort as validity-only.
+    sg = jax.lax.stop_gradient
+    mid = sg(0.5 * (beams.start + beams.end))
+    vcol = beams.valid[:, None]
+    mn = jnp.min(jnp.where(vcol, mid, jnp.inf), 0)
+    mx = jnp.max(jnp.where(vcol, mid, -jnp.inf), 0)
+    any_valid = jnp.any(beams.valid)
+    mn = jnp.where(any_valid, mn, 0.0)
+    mx = jnp.where(any_valid, mx, 1.0)
+    codes = morton3((mid - mn) / jnp.maximum(mx - mn, 1e-12))  # < 2^30
+    key = jnp.where(beams.valid, codes, jnp.uint32(1) << 30)
+    order = sg(jnp.argsort(key, stable=True).astype(jnp.int32))
     inv_order = _inverse_permutation(order)
     B = beams.capacity
     n_chunks = max(1, -(-B // chunk))
@@ -669,6 +684,42 @@ def pack_beams_compact(beams, chunk: int):
     return mat.reshape(n_chunks, chunk, NB), jnp.sum(valid_f)
 
 
+def _block_overlap_mask(beams_packed, seg_a0, seg_a1, tile, cam_radius):
+    """(n_chunks, n_tiles) f32 conservative cull mask for the pair kernels.
+
+    1 where the chunk's per-beam-radius-inflated AABB overlaps the ray
+    tile's cam_radius-inflated segment AABB.  A pair contributes only when
+    dist(segment, beam) < cam_radius + beam_radius, so disjoint inflated
+    boxes guarantee zero contribution AND zero cotangents — the skip is
+    exact.  Beams are Morton-sorted (pack_beams_compact) so chunk boxes are
+    tight; fully-dead chunks get empty boxes and mask 0 (subsumes the
+    n_valid skip for them)."""
+    from ..ops.pallas_gather import BF_B0, BF_B1, BF_RAD, BF_VALID
+
+    bp = jax.lax.stop_gradient(beams_packed)
+    start = bp[:, :, BF_B0 : BF_B0 + 3]
+    end = bp[:, :, BF_B1 : BF_B1 + 3]
+    rad = bp[:, :, BF_RAD : BF_RAD + 1]
+    live = bp[:, :, BF_VALID : BF_VALID + 1] > 0.0
+    big = jnp.float32(3e37)
+    cmin = jnp.min(jnp.where(live, jnp.minimum(start, end) - rad, big), 1)
+    cmax = jnp.max(jnp.where(live, jnp.maximum(start, end) + rad, -big), 1)
+
+    n_tiles = seg_a0.shape[0] // tile
+    a0 = jax.lax.stop_gradient(seg_a0).reshape(n_tiles, tile, 3)
+    a1 = jax.lax.stop_gradient(seg_a1).reshape(n_tiles, tile, 3)
+    r = jnp.asarray(cam_radius, jnp.float32)
+    tmin = jnp.minimum(a0.min(1), a1.min(1)) - r
+    tmax = jnp.maximum(a0.max(1), a1.max(1)) + r
+
+    hit = jnp.all(
+        (cmax[:, None, :] >= tmin[None, :, :])
+        & (cmin[:, None, :] <= tmax[None, :, :]),
+        -1,
+    )
+    return hit.astype(jnp.float32)
+
+
 def _packed_forward(cfg, beams_packed, rays_packed, scal):
     from ..ops.pallas_gather import pallas_gather_forward
 
@@ -678,7 +729,8 @@ def _packed_forward(cfg, beams_packed, rays_packed, scal):
          jnp.float32(power_scale), jnp.float32(min_sin),
          jnp.asarray(scal["n_valid"], jnp.float32)]
     ).reshape(1, 4)
-    out = pallas_gather_forward(rays_packed, beams_packed, scalars, tile, chunk)
+    out = pallas_gather_forward(rays_packed, beams_packed, scalars, tile,
+                                chunk, block_mask=scal.get("block_mask"))
     n_tiles = rays_packed.shape[0]
     return out[:, :3, :].transpose(0, 2, 1).reshape(n_tiles * tile, 3)
 
@@ -721,7 +773,7 @@ def _packed_bwd(cfg, res, ct):
     ).reshape(1, 4)
     d_rays8, d_beams = pallas_gather_backward_fused(
         rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
-        want_extras=grad_extras)
+        want_extras=grad_extras, block_mask=scal.get("block_mask"))
     d_rays = jnp.zeros_like(rays_packed)
     d_rays = d_rays.at[:, RF_TR:RF_TR + 3, :].set(d_rays8[:, DR_TR:DR_TR + 3, :])
     d_rays = d_rays.at[:, RF_SIGS:RF_SIGS + 3, :].set(
@@ -732,6 +784,8 @@ def _packed_bwd(cfg, res, ct):
                     else jnp.zeros(())),
         n_valid=jnp.zeros(()),
     )
+    if "block_mask" in scal:
+        d_scal["block_mask"] = jnp.zeros_like(scal["block_mask"])
     return d_beams, d_rays, d_scal
 
 
@@ -792,6 +846,9 @@ def gather_beams_packed(
     scal = dict(
         cam_radius=jnp.asarray(cam_radius, jnp.float32),
         n_valid=jnp.asarray(n_valid, jnp.float32),
+        # spatial chunk x tile cull (Morton-sorted chunks, exact skip)
+        block_mask=_block_overlap_mask(
+            beams_packed, seg["a0"], seg["a1"], tile, cam_radius),
     )
     cfg = (int(min(chunk, 256)), int(tile), float(power_scale),
            float(min_sin_theta), bool(grad_extras))

@@ -80,7 +80,8 @@ def _log_decay(ps, pe):
     return ok, ps_s, jnp.log(pe_s / ps_s)
 
 
-def _gather_kernel(scalars_ref, rays_ref, beams_ref, out_ref, *, chunk):
+def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
+                   chunk):
     j = pl.program_id(0)  # beam chunk (outer)
     i = pl.program_id(1)  # ray tile (inner)
 
@@ -92,10 +93,16 @@ def _gather_kernel(scalars_ref, rays_ref, beams_ref, out_ref, *, chunk):
     min_sin = scalars_ref[0, 2]
     n_valid = scalars_ref[0, 3]
 
-    # beams are validity-compacted: chunks wholly past n_valid are dead —
-    # skip the entire pair sweep (the batched form of the reference BVH
-    # query returning nothing, photonbeambvh.cpp:685)
-    @pl.when(jnp.float32(j * chunk) < n_valid)
+    # Two runtime skips, both exact:
+    # - beams are validity-compacted: chunks wholly past n_valid are dead
+    #   (the batched form of the reference BVH query returning nothing,
+    #   photonbeambvh.cpp:685);
+    # - beams are Morton-sorted within the valid prefix, so chunks are
+    #   spatially local: the caller precomputes a (n_chunks, n_tiles) AABB
+    #   overlap mask (width-inflated; beam_gather._block_overlap_mask) and
+    #   blocks with no possibly-in-range pair are skipped — the batched
+    #   equivalent of the BVH rejecting a whole subtree.
+    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j, i] > 0))
     def _compute():
         _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
                      cam_radius, min_sin)
@@ -181,6 +188,7 @@ def pallas_gather_forward(
     tile: int,
     chunk: int,
     group_tiles: int = 64,
+    block_mask: jnp.ndarray | None = None,  # (n_chunks, n_tiles) f32, 0=skip
 ) -> jnp.ndarray:
     """Returns (n_tiles, 8, T) with channels in rows 0..2.
 
@@ -188,19 +196,26 @@ def pallas_gather_forward(
     power_scale * in_med; beam powers already carry validity.  Rays are
     processed in groups of <= ``group_tiles`` tiles so the VMEM-resident
     output block stays bounded.  Off-TPU (tests, CPU dev) the kernel runs in
-    interpreter mode.
+    interpreter mode.  ``block_mask`` (chunk x tile AABB overlap, exact
+    conservative cull) skips whole pair blocks at runtime; None = all live.
     """
     n_tiles = rays_packed.shape[0]
     n_chunks = beams_packed.shape[0]
     interpret = jax.default_backend() != "tpu"
+    if block_mask is None:
+        block_mask = jnp.ones((n_chunks, n_tiles), jnp.float32)
 
-    def run_group(rp):
+    def run_group(rp, mk):
         g_tiles = rp.shape[0]
         return pl.pallas_call(
             partial(_gather_kernel, chunk=chunk),
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+                # full-array SMEM block (TPU lowering requires block dims
+                # == array dims for non-tiled shapes); indexed [j, i] inside
+                pl.BlockSpec((n_chunks, g_tiles), lambda j, i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0),
@@ -210,12 +225,13 @@ def pallas_gather_forward(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((g_tiles, 8, tile), jnp.float32),
             interpret=interpret,
-        )(scalars, rp, beams_packed)
+        )(scalars, mk, rp, beams_packed)
 
     if n_tiles <= group_tiles:
-        return run_group(rays_packed)
+        return run_group(rays_packed, block_mask)
     return jnp.concatenate(
-        [run_group(rays_packed[s : s + group_tiles])
+        [run_group(rays_packed[s : s + group_tiles],
+                   block_mask[:, s : s + group_tiles])
          for s in range(0, n_tiles, group_tiles)], 0)
 
 

@@ -213,7 +213,7 @@ def _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
     drays_ref[pl.ds(i, 1)] = drays_ref[pl.ds(i, 1)] + upd[None]
 
 
-def _bwd_fused_kernel(scalars_ref, rays_ref, beams_ref, ct_ref,
+def _bwd_fused_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, ct_ref,
                       dbeams_ref, drays_ref, *, chunk, want_extras=True):
     j = pl.program_id(0)  # beam chunk (outer)
     i = pl.program_id(1)  # ray tile (inner)
@@ -228,7 +228,9 @@ def _bwd_fused_kernel(scalars_ref, rays_ref, beams_ref, ct_ref,
 
     n_valid = scalars_ref[0, 3]
 
-    @pl.when(jnp.float32(j * chunk) < n_valid)
+    # dead-chunk skip + spatial block skip (see pallas_gather._gather_kernel;
+    # skipped blocks have no in-range pair, so both cotangent sets are 0)
+    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j, i] > 0))
     def _():
         _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
                         dbeams_ref, drays_ref, i, want_extras)
@@ -237,27 +239,34 @@ def _bwd_fused_kernel(scalars_ref, rays_ref, beams_ref, ct_ref,
 def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
                                  ct_packed, tile: int, chunk: int,
                                  group_tiles: int = 64,
-                                 want_extras: bool = True):
+                                 want_extras: bool = True,
+                                 block_mask=None):
     """Single-pass fused backward.  Returns (d_rays (n_tiles, 8, T),
     d_beams (n_chunks, C, NB)).
 
     scalars4: (1, 4) = cam_radius, power_scale, min_sin, n_valid_beams.
     Rays are processed in groups of <= ``group_tiles`` tiles so the whole
     d_rays group block fits VMEM; d_beams sums across groups.
+    ``block_mask`` (n_chunks, n_tiles) f32 skips spatially disjoint blocks
+    (same mask as the forward); None = all live.
     """
     from functools import partial
 
     n_tiles = rays_packed.shape[0]
     n_chunks = beams_packed.shape[0]
     interpret = jax.default_backend() != "tpu"
+    if block_mask is None:
+        block_mask = jnp.ones((n_chunks, n_tiles), jnp.float32)
 
-    def run_group(rp, cp):
+    def run_group(rp, cp, mk):
         g_tiles = rp.shape[0]
         return pl.pallas_call(
             partial(_bwd_fused_kernel, chunk=chunk, want_extras=want_extras),
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_chunks, g_tiles), lambda j, i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0),
@@ -276,17 +285,18 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
                 jax.ShapeDtypeStruct((g_tiles, 8, tile), jnp.float32),
             ],
             interpret=interpret,
-        )(scalars4, rp, beams_packed, cp)
+        )(scalars4, mk, rp, beams_packed, cp)
 
     if n_tiles <= group_tiles:
-        d_beams, d_rays = run_group(rays_packed, ct_packed)
+        d_beams, d_rays = run_group(rays_packed, ct_packed, block_mask)
         return d_rays, d_beams
 
     d_beams_total = jnp.zeros((n_chunks, chunk, NB), jnp.float32)
     d_rays_parts = []
     for s in range(0, n_tiles, group_tiles):
         e = min(s + group_tiles, n_tiles)
-        db, dr = run_group(rays_packed[s:e], ct_packed[s:e])
+        db, dr = run_group(rays_packed[s:e], ct_packed[s:e],
+                           block_mask[:, s:e])
         d_beams_total = d_beams_total + db
         d_rays_parts.append(dr)
     return jnp.concatenate(d_rays_parts, 0), d_beams_total
