@@ -2,7 +2,8 @@
 
 Reference: /root/reference/src/main/pbrt.cpp:74-162 — flags --outfile,
 --quick, --quiet, --nthreads (accepted for compatibility; the device mesh
-replaces the thread pool), --cat/--toly omitted (tooling in bre_tpu.tools).
+replaces the thread pool), --cat (reformatted scene to stdout) and --toply
+(same, converting large trianglemeshes to .ply files) — scene/cat.py.
 Flow mirrors pbrtInit -> ParseFile -> render -> write (api.cpp:1361-1417).
 """
 
@@ -25,7 +26,29 @@ def main(argv=None) -> int:
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--nthreads", type=int, default=0,
                     help="accepted for pbrt compatibility (mesh-parallel instead)")
+    ap.add_argument("--cat", action="store_true",
+                    help="print reformatted scene to stdout and exit (pbrt --cat)")
+    ap.add_argument("--toply", action="store_true",
+                    help="like --cat, converting large triangle meshes to PLY "
+                         "files next to the scene (pbrt --toply)")
     args = ap.parse_args(argv)
+
+    if args.cat or args.toply:
+        from pathlib import Path
+
+        from .scene.cat import cat_scene
+
+        scene_path = Path(args.scene)
+        try:
+            text = scene_path.read_text()
+        except FileNotFoundError:
+            print(f"error: scene file not found: {args.scene}", file=sys.stderr)
+            return 1
+        sys.stdout.write(cat_scene(
+            text, include_dir=scene_path.parent,
+            toply_dir=scene_path.parent if args.toply else None,
+        ))
+        return 0
 
     import numpy as np
 

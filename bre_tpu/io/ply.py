@@ -138,6 +138,31 @@ def _read_ply_python(path) -> Tuple[np.ndarray, np.ndarray]:
     return verts, np.asarray(tris, np.int32).reshape(-1, 3)
 
 
+def write_ply(path, verts: np.ndarray, tris: np.ndarray) -> None:
+    """Write a binary_little_endian PLY mesh (positions + triangle faces).
+
+    The output of the CLI's --toply conversion (pbrt.cpp --toply routes big
+    trianglemeshes into .ply files); round-trips through read_ply."""
+    verts = np.ascontiguousarray(np.asarray(verts, np.float32).reshape(-1, 3))
+    tris = np.asarray(tris, np.int32).reshape(-1, 3)
+    hdr = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {verts.shape[0]}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {tris.shape[0]}\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    ).encode("ascii")
+    body = bytearray(verts.astype("<f4").tobytes())
+    counts = np.full((tris.shape[0], 1), 3, np.uint8)
+    # interleave count byte + 3 int32 per face
+    face_dt = np.dtype([("n", "u1"), ("idx", "<i4", (3,))])
+    faces = np.empty(tris.shape[0], face_dt)
+    faces["n"] = counts[:, 0]
+    faces["idx"] = tris.astype("<i4")
+    body += faces.tobytes()
+    Path(path).write_bytes(hdr + bytes(body))
+
+
 def read_ply(path) -> Tuple[np.ndarray, np.ndarray]:
     """Read a PLY mesh -> (verts (nv,3) float32, tris (nt,3) int32).
 
