@@ -80,13 +80,25 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / reps
 
     rays_per_sec = wh * wh / dt
+    # vs_baseline: ratio against the first recorded round's number (the
+    # reference publishes none, BASELINE.md).  BENCH_r1.json is written by
+    # the driver after round 1; before that the ratio is 1.0 by definition.
+    baseline = None
+    try:
+        import pathlib
+
+        rec = json.loads(
+            pathlib.Path(__file__).with_name("BENCH_r1.json").read_text())
+        baseline = float(rec.get("value") or 0) or None
+    except Exception:
+        baseline = None
     print(
         json.dumps(
             {
                 "metric": "camera_rays_per_sec_fwd_bwd",
                 "value": rays_per_sec,
                 "unit": "rays/s/chip",
-                "vs_baseline": 1.0,
+                "vs_baseline": (rays_per_sec / baseline) if baseline else 1.0,
             }
         )
     )

@@ -80,6 +80,32 @@ def test_any_hit_matches_dense(monkeypatch):
     assert occ_b.any() and not occ_b.all()
 
 
+def test_any_hit_skips_boundary_surfaces(monkeypatch):
+    """Shadow rays pass through material-less medium-boundary triangles in
+    the BVH path too (scene.cpp:63-92 IntersectTr semantics)."""
+    monkeypatch.setattr(builder_mod, "BVH_MIN_TRIANGLES", 8)
+    b = SceneBuilder()
+    m = b.matte((0.5,) * 3)
+    med = b.homogeneous_medium((0.1,) * 3, (0.2,) * 3)
+    # boundary-only box around the origin (no material): 12 triangles
+    b.box((-1, -1, -1), (1, 1, 1), material=-1, medium_inside=med,
+          medium_outside=-1)
+    # one real occluder behind it
+    b.quad((-2, -2, 3), (2, -2, 3), (2, 2, 3), (-2, 2, 3), material=m)
+    b.point_light((0, 0, -4), (1, 1, 1))
+    s = b.build()
+    assert s.tri_bvh is not None and s.n_triangles == 14
+    o = jnp.array([[0.0, 0.0, -4.0], [0.0, 0.0, -4.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
+    # ray 0 passes through the boundary box but hits the wall at z=3;
+    # ray 1 escapes upward: no occluder
+    occ = np.asarray(isect.intersect_p(s, o, d, jnp.full((2,), 10.0)))
+    assert occ[0] and not occ[1]
+    # with t_max short of the wall, the boundary box alone must NOT occlude
+    occ2 = np.asarray(isect.intersect_p(s, o, d, jnp.full((2,), 6.0)))
+    assert not occ2[0]
+
+
 def test_bvh_path_is_differentiable(monkeypatch):
     """grad through intersect() w.r.t. ray origin must flow via the
     differentiable t-recompute (the traversal itself is stop-gradiented)."""
