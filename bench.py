@@ -58,7 +58,9 @@ def main() -> None:
             media=scene.media._replace(sigma_a=sigma_a, sigma_s=sigma_s)
         )
         beams, _ = trace_photon_beams(
-            sc, distr, iter_idx, photons, max_depth, jnp.float32(0.2)
+            sc, distr, iter_idx, photons, max_depth, jnp.float32(0.2),
+            detach_sampling=True,  # detached differential estimator,
+            # matching grad_geometry=False on the gather side
         )
         Ld, _ = camera_pass(
             sc, cam, wh, wh, beams, jnp.float32(0.2), iter_idx, cfg, photons

@@ -104,6 +104,7 @@ def trace_photon_beams(
     photons_per_iter: int,
     max_depth: int,
     beam_radius,
+    detach_sampling: bool = False,
 ) -> Tuple[Beams, dict]:
     """Trace ``photons_per_iter`` photon paths, emitting beam segments.
 
@@ -116,7 +117,8 @@ def trace_photon_beams(
         jnp.uint32(iter_idx) * jnp.uint32(photons_per_iter) + photon_idx
     )
     return trace_photon_beams_by_index(
-        scene, light_distr, halton_index, max_depth, beam_radius
+        scene, light_distr, halton_index, max_depth, beam_radius,
+        detach_sampling=detach_sampling,
     )
 
 
@@ -126,12 +128,24 @@ def trace_photon_beams_by_index(
     halton_index: jnp.ndarray,
     max_depth: int,
     beam_radius,
+    detach_sampling: bool = False,
 ) -> Tuple[Beams, dict]:
     """Shardable core: trace one photon per entry of ``halton_index`` (the
     global photon stream id ``iter*photonsPerIter + photonIndex``).  A device
     mesh passes each shard its slice of the global index range — photon
     decomposition (SURVEY P2) with bit-identical results to the single-chip
-    run for the same index set."""
+    run for the same index set.
+
+    ``detach_sampling``: stop-gradient the sampled free-flight distances and
+    the continuation geometry (positions/directions), keeping the explicit
+    medium-parameter dependence of the weights and transmittances — the
+    standard *detached* differential-transport estimator (the sampling
+    density is frozen at the current parameters while the integrand's
+    explicit dependence is differentiated; unbiased, and it sidesteps the
+    reparametrized estimator's missing boundary terms at the scatter-vs-
+    surface discontinuity).  Cuts the trace backward several-fold: without
+    it, sigma gradients flow t -> origin -> intersect -> BSDF chains at
+    every walk step."""
     P = halton_index.shape[0]
     n_steps = max_depth + 2
     rng = pcg32_init(jnp.asarray(halton_index, jnp.uint32) + jnp.uint32(1))  # photonbeam.cpp:389
@@ -166,6 +180,8 @@ def trace_photon_beams_by_index(
 
         # medium interaction sampling (photonbeam.cpp:270 Medium::Sample)
         rng, ms, _ovf = sample_medium(scene.media, medium, o, d, t_lim, rng)
+        if detach_sampling:
+            ms = ms._replace(t=jax.lax.stop_gradient(ms.t))
         scattered = ms.sampled & alive
         t_end = jnp.where(scattered, ms.t, t_lim)
         end = o + t_end[:, None] * d
@@ -270,6 +286,13 @@ def trace_photon_beams_by_index(
         # boundary pass-through does not (photonbeam.cpp:300-303 --depth)
         new_depth = depth + jnp.where(scattered | (surf & ~is_boundary), 1, 0)
         new_alive = new_alive & (new_depth < max_depth)
+
+        if detach_sampling:
+            # detached continuation geometry: the next step's intersect /
+            # transmittance see constant rays, so the reverse scan carries
+            # only the weight/power chains (see trace_photon_beams_by_index)
+            new_o = jax.lax.stop_gradient(new_o)
+            new_d = jax.lax.stop_gradient(new_d)
 
         stats = dict(
             n_medium_scatter=jnp.sum(scattered.astype(jnp.int32)),

@@ -426,7 +426,10 @@ def render_photonbeam(
     @jax.jit
     def one_iteration(iter_idx, radius):
         beams, tstats = trace_photon_beams(
-            scene, light_distr, iter_idx, photons, cfg.maxdepth, radius
+            scene, light_distr, iter_idx, photons, cfg.maxdepth, radius,
+            # grad_geometry=False callers fit medium params: pair the camera
+            # side's stop-gradient geometry with detached photon sampling
+            detach_sampling=not cfg.grad_geometry,
         )
         Ld, cstats = camera_pass(
             scene, camera, width, height, beams, radius, iter_idx, cfg,

@@ -35,6 +35,50 @@ def _loss_fn(scene, cam, wh, cfg):
     return jax.jit(loss)
 
 
+def test_detached_sampling_gradients():
+    """detach_sampling: the detached differential estimator (sampling density
+    frozen, explicit parameter dependence differentiated) must leave the
+    FORWARD bit-identical and produce gradients consistent with the attached
+    (reparametrized) estimator — both are estimators of the same derivative;
+    they differ by the pathwise terms through the sampled distances."""
+    scene = fog_cube_scene(sigma_a=0.1, sigma_s=0.5, g=0.0, intensity=1.0).build()
+    wh = 12
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.2), (0, 0, 0), (0, 1, 0)), 45.0, wh, wh
+    )
+    cfg = PhotonBeamConfig(
+        maxdepth=3, photonsperiteration=512, initialbeamradius=0.35,
+        gather_chunk=512,
+    )
+    distr = light_power_distribution(scene)
+
+    def make_loss(detach):
+        def loss(sa, ss):
+            sc = scene._replace(
+                media=scene.media._replace(sigma_a=sa, sigma_s=ss))
+            beams, _ = trace_photon_beams(
+                sc, distr, jnp.uint32(0), 512, 3, jnp.float32(0.35),
+                detach_sampling=detach)
+            Ld, _ = camera_pass(sc, cam, wh, wh, beams, jnp.float32(0.35),
+                                jnp.uint32(0), cfg, 512)
+            return jnp.mean(Ld)
+        return jax.jit(loss)
+
+    sa, ss = scene.media.sigma_a, scene.media.sigma_s
+    la, ld = make_loss(False), make_loss(True)
+    np.testing.assert_array_equal(float(la(sa, ss)), float(ld(sa, ss)))
+    ga = jax.grad(la, argnums=(0, 1))(sa, ss)
+    gd = jax.grad(ld, argnums=(0, 1))(sa, ss)
+    for a, d in zip(ga, gd):
+        a = np.asarray(a)[0]
+        d = np.asarray(d)[0]
+        assert np.isfinite(d).all()
+        # same signs, magnitudes within 35% (estimator-family difference at
+        # 512 photons; measured ~8% on this scene)
+        assert (np.sign(a) == np.sign(d)).all()
+        np.testing.assert_allclose(d, a, rtol=0.35)
+
+
 def test_bre_gradient_matches_finite_difference():
     """d(mean image)/d(sigma) by autodiff == central finite differences.
 
