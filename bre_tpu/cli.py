@@ -157,8 +157,21 @@ def main(argv=None) -> int:
         print(f"error: integrator '{name}' not supported yet", file=sys.stderr)
         return 1
 
+    img = np.asarray(img)
+    # Film post-ops (film.cpp): crop window -> cropped pixel bounds
+    # (pMin = ceil(res * c0), pMax = ceil(res * c1), film.cpp:~60), scale
+    # multiplies written values (film.cpp WriteImage).
+    if ps.crop is not None:
+        x0, x1, y0, y1 = ps.crop
+        px0 = int(np.ceil(ps.width * x0))
+        px1 = int(np.ceil(ps.width * x1))
+        py0 = int(np.ceil(ps.height * y0))
+        py1 = int(np.ceil(ps.height * y1))
+        img = img[py0:py1, px0:px1]
+    if ps.film_scale != 1.0:
+        img = img * np.float32(ps.film_scale)
     out = args.outfile or ps.filename
-    write_image(out, np.asarray(img))
+    write_image(out, img)
     if not args.quiet:
         dt = time.time() - t0
         print(f"bre_tpu: wrote {out} ({dt:.1f}s)")

@@ -152,6 +152,10 @@ class ParsedScene:
     sampler_params: Dict
     filter_name: str
     filename: str
+    # Film post-ops (film.cpp): crop window as (x0, x1, y0, y1) fractions of
+    # the resolution, or None; scale multiplies written pixel values.
+    crop: object = None
+    film_scale: float = 1.0
 
     def build(self):
         return self.builder.build()
@@ -189,6 +193,8 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
     cam_type = "perspective"
     width, height = 640, 480
     filename = "pbrt.exr"
+    crop = None
+    film_scale = 1.0
     integ_name, integ_params = "path", {}
     samp_name, samp_params = "halton", {}
     filt_name = "box"
@@ -333,6 +339,14 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
             width = _i(p, "xresolution", 640)
             height = _i(p, "yresolution", 480)
             filename = str(p.get("filename", "pbrt.exr")).strip('"')
+            film_scale = _f(p, "scale", 1.0)
+            cw = p.get("cropwindow")
+            if cw is not None:
+                crop = tuple(float(v) for v in cw)
+            if "maxsampleluminance" in p:
+                warnings.warn(
+                    "Film maxsampleluminance is not applied (per-sample "
+                    "clamping happens before accumulation in pbrt)")
         elif tok == "Integrator":
             integ_name = ts.next().strip('"')
             integ_params = parse_params(ts)
@@ -658,6 +672,7 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
         integrator_name=integ_name, integrator_params=integ_params,
         sampler_name=samp_name, sampler_params=samp_params,
         filter_name=filt_name, filename=filename,
+        crop=crop, film_scale=film_scale,
     )
 
 

@@ -125,3 +125,37 @@ def test_named_medium_preset():
     # unknown preset warns and keeps explicit/default sigmas
     assert any("nope" in m for m in msgs)
     np.testing.assert_allclose(ss[1], [1.0, 1.0, 1.0])
+
+
+def test_film_crop_and_scale(tmp_path):
+    """Film cropwindow/scale (film.cpp cropped pixel bounds + write scale)."""
+    import numpy as np
+
+    from bre_tpu.cli import main as cli_main
+    from bre_tpu.io.image import read_image
+    from bre_tpu.scene.parser import parse_string
+
+    txt = """
+    LookAt 0 0 -3  0 0 0  0 1 0
+    Camera "perspective" "float fov" [45]
+    Film "image" "integer xresolution" [16] "integer yresolution" [16]
+        "float cropwindow" [0.25 0.75 0.5 1.0] "float scale" [2.0]
+    Integrator "volpath" "integer maxdepth" [2]
+    Sampler "random" "integer pixelsamples" [2]
+    WorldBegin
+    LightSource "point" "point from" [0 0 -1] "rgb I" [5 5 5]
+    Material "matte" "rgb Kd" [.7 .6 .5]
+    Shape "sphere" "float radius" [0.5]
+    WorldEnd
+    """
+    ps = parse_string(txt)
+    assert ps.crop == (0.25, 0.75, 0.5, 1.0)
+    assert ps.film_scale == 2.0
+
+    scene_file = tmp_path / "crop.pbrt"
+    scene_file.write_text(txt)
+    out = tmp_path / "out.pfm"
+    rc = cli_main([str(scene_file), "--outfile", str(out), "--quiet"])
+    assert rc == 0
+    img = np.asarray(read_image(str(out)))
+    assert img.shape == (8, 8, 3)  # 16 * (0.75-0.25) x 16 * (1.0-0.5)
