@@ -127,6 +127,7 @@ def main(argv=None) -> int:
         cfg = VolPathConfig(
             maxdepth=geti("maxdepth", 5), spp=max(1, spp // quick),
             sampler=ps.sampler_name if ps.sampler_name in known else "random",
+            maxsampleluminance=ps.max_sample_luminance,
         )
         img = render_volpath(scene, ps.camera, ps.width, ps.height, cfg)
         stats = {}

@@ -52,6 +52,10 @@ class VolPathConfig:
     # (Camera::GenerateRayDifferential + MIPMap EWA; opt-in: the fixed
     # EWA window is ~360 gathers/lane)
     texture_filter: bool = False
+    # Film "maxsampleluminance": per-SAMPLE luminance clamp applied before
+    # accumulation (Film::AddSample, film.h:121 — fireflies are clamped per
+    # sample, which post-hoc pixel clamping cannot reproduce)
+    maxsampleluminance: float = float("inf")
 
 
 _BSSRDF_CHAIN_K = 4  # probe-ray intersection-chain capacity (bssrdf.cpp:296-313
@@ -425,6 +429,14 @@ def render_volpath(
         else:
             o, d, w_cam = generate_rays_weighted(camera, pix + j2 - 0.5, u_lens)
         _, L = _li_batch(scene, o, d, rng, cfg, diffs=diffs)
+        if cfg.maxsampleluminance != float("inf"):
+            # Film::AddSample's per-sample clamp (film.h:~125): scale the
+            # sample so its luminance is at most the limit
+            y = (0.212671 * L[:, 0] + 0.715160 * L[:, 1]
+                 + 0.072169 * L[:, 2])
+            f = jnp.where(y > cfg.maxsampleluminance,
+                          cfg.maxsampleluminance / jnp.maximum(y, 1e-30), 1.0)
+            L = L * f[:, None]
         return L * w_cam[:, None]
 
     acc = jnp.zeros((R, 3))

@@ -156,6 +156,10 @@ class ParsedScene:
     # the resolution, or None; scale multiplies written pixel values.
     crop: object = None
     film_scale: float = 1.0
+    # Film "maxsampleluminance": per-sample clamp, applied by the sampler-
+    # integrator paths (SPPM-family writes via SetImage and bypasses it,
+    # matching pbrt)
+    max_sample_luminance: float = float("inf")
 
     def build(self):
         return self.builder.build()
@@ -195,6 +199,7 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
     filename = "pbrt.exr"
     crop = None
     film_scale = 1.0
+    max_lum = float("inf")
     integ_name, integ_params = "path", {}
     samp_name, samp_params = "halton", {}
     filt_name = "box"
@@ -343,10 +348,7 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
             cw = p.get("cropwindow")
             if cw is not None:
                 crop = tuple(float(v) for v in cw)
-            if "maxsampleluminance" in p:
-                warnings.warn(
-                    "Film maxsampleluminance is not applied (per-sample "
-                    "clamping happens before accumulation in pbrt)")
+            max_lum = _f(p, "maxsampleluminance", float("inf"))
         elif tok == "Integrator":
             integ_name = ts.next().strip('"')
             integ_params = parse_params(ts)
@@ -672,7 +674,7 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
         integrator_name=integ_name, integrator_params=integ_params,
         sampler_name=samp_name, sampler_params=samp_params,
         filter_name=filt_name, filename=filename,
-        crop=crop, film_scale=film_scale,
+        crop=crop, film_scale=film_scale, max_sample_luminance=max_lum,
     )
 
 

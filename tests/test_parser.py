@@ -159,3 +159,35 @@ def test_film_crop_and_scale(tmp_path):
     assert rc == 0
     img = np.asarray(read_image(str(out)))
     assert img.shape == (8, 8, 3)  # 16 * (0.75-0.25) x 16 * (1.0-0.5)
+
+
+def test_max_sample_luminance_clamp():
+    """Film "maxsampleluminance" clamps per-sample luminance before
+    accumulation (Film::AddSample, film.h:~125)."""
+    import numpy as np
+
+    from bre_tpu.scene.parser import parse_string
+    from bre_tpu.integrators.volpath import VolPathConfig, render_volpath
+
+    txt = """
+    LookAt 0 0 -3  0 0 0  0 1 0
+    Camera "perspective" "float fov" [45]
+    Film "image" "integer xresolution" [8] "integer yresolution" [8]
+        "float maxsampleluminance" [0.05]
+    WorldBegin
+    LightSource "point" "point from" [0 0 -1] "rgb I" [50 50 50]
+    Material "matte" "rgb Kd" [.7 .7 .7]
+    Shape "sphere" "float radius" [0.5]
+    WorldEnd
+    """
+    ps = parse_string(txt)
+    assert ps.max_sample_luminance == 0.05
+    scene = ps.build()
+    img_c = np.asarray(render_volpath(
+        scene, ps.camera, 8, 8,
+        VolPathConfig(maxdepth=2, spp=4, maxsampleluminance=0.05)))
+    img_u = np.asarray(render_volpath(
+        scene, ps.camera, 8, 8, VolPathConfig(maxdepth=2, spp=4)))
+    y_c = img_c @ np.array([0.212671, 0.715160, 0.072169])
+    assert y_c.max() <= 0.05 + 1e-5
+    assert img_u.max() > img_c.max()
