@@ -128,6 +128,10 @@ def main(argv=None) -> int:
             maxdepth=geti("maxdepth", 5), spp=max(1, spp // quick),
             sampler=ps.sampler_name if ps.sampler_name in known else "random",
             maxsampleluminance=ps.max_sample_luminance,
+            # pbrt volpath defaults to the spatial voxel cache
+            # (CreateVolPathIntegrator, volpath.cpp:~300)
+            lightsamplestrategy=str(
+                p.get("lightsamplestrategy", "spatial")).strip('"'),
         )
         img = render_volpath(scene, ps.camera, ps.width, ps.height, cfg)
         stats = {}

@@ -44,11 +44,16 @@ def sample_one_light(
     uv=None,
     duv_dx=None,
     duv_dy=None,
+    light_distrib=None,
 ):
     """NEE at surface points (BSDF) or medium points (HG phase).
 
     Semantics of UniformSampleOneLight (integrator.cpp:54-83): pick one light
-    uniformly, divide by 1/nLights; shadow ray respects media transmittance.
+    and divide by its pick probability; shadow ray respects media
+    transmittance.  ``light_distrib``: optional
+    :class:`~bre_tpu.lights.SpatialLightDistribution` — the reference's
+    "spatial" lightsamplestrategy (lightdistrib.cpp voxel cache, volpath's
+    default); None = uniform pick (the "uniform" strategy).
     For medium points pass is_surface=False and n is ignored.
     Returns (rng, L) with L: (R,3).
     """
@@ -57,7 +62,15 @@ def sample_one_light(
     if n_lights == 0:
         return rng, jnp.zeros((R, 3))
     rng, u_pick = pcg32_next_f32(rng)
-    light_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
+    if light_distrib is not None:
+        from ..lights import sample_light_spatial
+
+        light_idx, pick_pmf = sample_light_spatial(light_distrib, p, u_pick)
+        inv_pick = 1.0 / jnp.maximum(pick_pmf, 1e-12)
+    else:
+        light_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32),
+                                n_lights - 1)
+        inv_pick = jnp.full((R,), jnp.float32(n_lights))
     rng, ua = pcg32_next_f32(rng)
     rng, ub = pcg32_next_f32(rng)
     ls = sample_li(scene, light_idx, p, jnp.stack([ua, ub], -1))
@@ -83,4 +96,4 @@ def sample_one_light(
     ok = ~occluded & (ls.pdf > 1e-12)
     contrib = f * ls.Li * tr / jnp.where(ok, ls.pdf, 1.0)[:, None]
     contrib = jnp.where(ok[:, None], contrib, 0.0)
-    return rng, contrib * jnp.float32(n_lights)
+    return rng, contrib * inv_pick[:, None]

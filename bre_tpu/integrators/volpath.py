@@ -56,6 +56,10 @@ class VolPathConfig:
     # accumulation (Film::AddSample, film.h:121 — fireflies are clamped per
     # sample, which post-hoc pixel clamping cannot reproduce)
     maxsampleluminance: float = float("inf")
+    # NEE light pick: "uniform" (UniformSampleOneLight) | "power"
+    # (PowerLightDistribution) | "spatial" (SpatialLightDistribution voxel
+    # cache, lightdistrib.cpp — pbrt volpath's default lightsamplestrategy)
+    lightsamplestrategy: str = "uniform"
 
 
 _BSSRDF_CHAIN_K = 4  # probe-ray intersection-chain capacity (bssrdf.cpp:296-313
@@ -184,7 +188,8 @@ def _bssrdf_nee(scene: Scene, rng, p, n, eta, med_idx):
     return rng, jnp.where(ok[:, None], contrib, 0.0) * jnp.float32(n_lights)
 
 
-def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None):
+def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
+              light_distrib=None):
     """Radiance for a batch of camera rays. Returns (rng, L).
 
     diffs: optional (rx_o, rx_d, ry_o, ry_d) camera-ray differentials;
@@ -225,6 +230,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None):
         rng, nee_med = sample_one_light(
             scene, rng, p_med, jnp.zeros_like(d), -d,
             jnp.full((R,), -1, jnp.int32), medium, jnp.zeros((R,), bool),
+            light_distrib=light_distrib,
         )
         L = L + jnp.where(scattered[:, None], beta * nee_med, 0.0)
         rng, p0 = pcg32_next_f32(rng)
@@ -266,6 +272,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None):
         rng, nee_surf = sample_one_light(
             scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
             tangent=h.tangent, uv=h.uv, duv_dx=duv_dx, duv_dy=duv_dy,
+            light_distrib=light_distrib,
         )
         L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
 
@@ -410,6 +417,27 @@ def render_volpath(
     # EWA texture filtering needs ray differentials + an image atlas
     use_diffs = bool(cfg.texture_filter) and scene.textures.atlas.shape[0] > 1
 
+    # NEE light-pick strategy (CreateLightSampleDistribution,
+    # lightdistrib.cpp:~40-60): uniform | power | spatial
+    light_distrib = None
+    if scene.n_lights > 0 and cfg.lightsamplestrategy == "spatial":
+        from ..lights import spatial_light_distribution
+
+        light_distrib = spatial_light_distribution(scene)
+    elif scene.n_lights > 0 and cfg.lightsamplestrategy == "power":
+        # power = a one-voxel spatial table holding the power pmf
+        from ..core.spectrum import luminance as _lum
+        from ..lights import SpatialLightDistribution, light_power
+
+        w = _lum(light_power(scene))
+        w = jnp.where(jnp.sum(w) > 0, w, 1.0)
+        pmf = (w / jnp.sum(w))[None, :]
+        light_distrib = SpatialLightDistribution(
+            pmf=pmf, cdf=jnp.cumsum(pmf, -1), res=1,
+            wmin=scene.world_min,
+            inv_extent=1.0 / jnp.maximum(
+                scene.world_max - scene.world_min, 1e-6))
+
     @jax.jit
     def one_pass(sample_idx):
         # sample_idx is traced: one compile serves every spp pass
@@ -428,7 +456,8 @@ def render_volpath(
             diffs = (rx_o, rx_d, ry_o, ry_d)
         else:
             o, d, w_cam = generate_rays_weighted(camera, pix + j2 - 0.5, u_lens)
-        _, L = _li_batch(scene, o, d, rng, cfg, diffs=diffs)
+        _, L = _li_batch(scene, o, d, rng, cfg, diffs=diffs,
+                         light_distrib=light_distrib)
         if cfg.maxsampleluminance != float("inf"):
             # Film::AddSample's per-sample clamp (film.h:~125): scale the
             # sample so its luminance is at most the limit
