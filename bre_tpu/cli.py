@@ -132,6 +132,14 @@ def main(argv=None) -> int:
             # (CreateVolPathIntegrator, volpath.cpp:~300)
             lightsamplestrategy=str(
                 p.get("lightsamplestrategy", "spatial")).strip('"'),
+            # whitted/directlighting: specular-only continuations; the
+            # directlighting integrator defaults to strategy "all"
+            # (CreateDirectLightingIntegrator, directlighting.cpp:~110)
+            indirect="specular" if name in ("whitted", "directlighting")
+            else "full",
+            samplealllights=(
+                name == "directlighting"
+                and str(p.get("strategy", "all")).strip('"') == "all"),
         )
         img = render_volpath(scene, ps.camera, ps.width, ps.height, cfg)
         stats = {}

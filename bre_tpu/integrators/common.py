@@ -73,7 +73,17 @@ def sample_one_light(
         inv_pick = jnp.full((R,), jnp.float32(n_lights))
     rng, ua = pcg32_next_f32(rng)
     rng, ub = pcg32_next_f32(rng)
-    ls = sample_li(scene, light_idx, p, jnp.stack([ua, ub], -1))
+    contrib = _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx,
+                       is_surface, jnp.stack([ua, ub], -1),
+                       tangent, uv, duv_dx, duv_dy)
+    return rng, contrib * inv_pick[:, None]
+
+
+def _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx, is_surface, u2,
+             tangent, uv, duv_dx, duv_dy):
+    """EstimateDirect's light-sampling term for one light per lane
+    (integrator.cpp:85-160, without the pick-probability factor)."""
+    ls = sample_li(scene, light_idx, p, u2)
 
     # scattering term (kd textures apply at surface hits; EWA when the
     # caller provides ray-differential footprints)
@@ -95,5 +105,32 @@ def sample_one_light(
 
     ok = ~occluded & (ls.pdf > 1e-12)
     contrib = f * ls.Li * tr / jnp.where(ok, ls.pdf, 1.0)[:, None]
-    contrib = jnp.where(ok[:, None], contrib, 0.0)
-    return rng, contrib * inv_pick[:, None]
+    return jnp.where(ok[:, None], contrib, 0.0)
+
+
+def sample_all_lights(
+    scene: Scene,
+    rng: PCG32State,
+    p: jnp.ndarray,
+    n: jnp.ndarray,
+    wo: jnp.ndarray,
+    mat_idx: jnp.ndarray,
+    med_idx: jnp.ndarray,
+    is_surface: jnp.ndarray,
+    tangent=None,
+    uv=None,
+    duv_dx=None,
+    duv_dy=None,
+):
+    """UniformSampleAllLights (integrator.cpp:54-83 strategy "all"): NEE
+    against EVERY light and sum (one sample per light).  Static unrolled
+    loop — light counts are small and fixed per scene."""
+    R = p.shape[0]
+    total = jnp.zeros((R, 3))
+    for li in range(scene.n_lights):
+        rng, ua = pcg32_next_f32(rng)
+        rng, ub = pcg32_next_f32(rng)
+        total = total + _nee_one(
+            scene, jnp.full((R,), li, jnp.int32), p, n, wo, mat_idx, med_idx,
+            is_surface, jnp.stack([ua, ub], -1), tangent, uv, duv_dx, duv_dy)
+    return rng, total

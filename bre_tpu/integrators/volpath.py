@@ -32,7 +32,7 @@ from ..scene.camera import (Camera, generate_rays, generate_rays_weighted,
                             pixel_centers)
 from ..scene.intersect import intersect
 from ..scene.scene import Scene
-from .common import sample_one_light
+from .common import sample_all_lights, sample_one_light
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +60,9 @@ class VolPathConfig:
     # (PowerLightDistribution) | "spatial" (SpatialLightDistribution voxel
     # cache, lightdistrib.cpp — pbrt volpath's default lightsamplestrategy)
     lightsamplestrategy: str = "uniform"
+    # NEE against every light (UniformSampleAllLights — directlighting's
+    # default strategy "all", directlighting.cpp)
+    samplealllights: bool = False
 
 
 _BSSRDF_CHAIN_K = 4  # probe-ray intersection-chain capacity (bssrdf.cpp:296-313
@@ -196,6 +199,13 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
     image-map textures at first hits then use EWA footprint filtering.
     """
     R = o.shape[0]
+
+    def _nee(rng, p, n, wo, mat_idx, med_idx, is_surface, **kw):
+        if cfg.samplealllights:
+            return sample_all_lights(scene, rng, p, n, wo, mat_idx, med_idx,
+                                     is_surface, **kw)
+        return sample_one_light(scene, rng, p, n, wo, mat_idx, med_idx,
+                                is_surface, light_distrib=light_distrib, **kw)
     state = dict(
         rng=rng,
         o=o,
@@ -227,10 +237,9 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
 
         # ----- medium interaction (volpath.cpp:88-107) -----
         p_med = o + ms.t[:, None] * d
-        rng, nee_med = sample_one_light(
-            scene, rng, p_med, jnp.zeros_like(d), -d,
+        rng, nee_med = _nee(
+            rng, p_med, jnp.zeros_like(d), -d,
             jnp.full((R,), -1, jnp.int32), medium, jnp.zeros((R,), bool),
-            light_distrib=light_distrib,
         )
         L = L + jnp.where(scattered[:, None], beta * nee_med, 0.0)
         rng, p0 = pcg32_next_f32(rng)
@@ -269,10 +278,9 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
             duv_dx = jnp.where(fm, duv_dx, 0.0)
             duv_dy = jnp.where(fm, duv_dy, 0.0)
 
-        rng, nee_surf = sample_one_light(
-            scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
+        rng, nee_surf = _nee(
+            rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
             tangent=h.tangent, uv=h.uv, duv_dx=duv_dx, duv_dy=duv_dy,
-            light_distrib=light_distrib,
         )
         L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
 

@@ -63,3 +63,21 @@ def test_equilibrium_sphere_any_strategy(strategy):
         b.build(), cam, 10, 10,
         VolPathConfig(maxdepth=16, spp=48, lightsamplestrategy=strategy))
     np.testing.assert_allclose(float(np.asarray(img).mean()), 1.0, atol=0.04)
+
+
+def test_sample_all_lights_matches_one_light():
+    """UniformSampleAllLights == UniformSampleOneLight in expectation
+    (directlighting strategy "all" vs "one", integrator.cpp:54-83)."""
+    b = SceneBuilder()
+    m = b.matte((0.5,) * 3)
+    b.sphere((0, 0, 0), 1.0, material=m)
+    for k in range(4):
+        b.point_light((0, 0, 0), (PI / 4,) * 3)
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, 0), (0, 0, 1), (0, 1, 0)), 60.0, 10, 10)
+    img_all = render_volpath(
+        b.build(), cam, 8, 8,
+        VolPathConfig(maxdepth=9, spp=24, samplealllights=True))
+    # 0.5^9 equilibrium truncation ~0.2%; MC noise dominates the tolerance
+    np.testing.assert_allclose(float(np.asarray(img_all).mean()), 1.0,
+                               atol=0.05)
