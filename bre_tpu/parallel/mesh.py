@@ -87,7 +87,11 @@ def sharded_photonbeam_iteration(
     def iteration(scene_in, radius, photon_ids, praster_shard, stream_base):
         # --- photon pass: this chip's photon slice (P2) ---
         beams_local, _stats = trace_photon_beams_by_index(
-            scene_in, light_distr, photon_ids[:, 0], cfg.maxdepth, radius
+            scene_in, light_distr, photon_ids[:, 0], cfg.maxdepth, radius,
+            # same detached-estimator policy as the single-chip driver
+            # (photonbeam.py): medium-param fitting pairs stop-gradient
+            # gather geometry with detached photon sampling
+            detach_sampling=not cfg.grad_geometry,
         )
         # --- replicate the photon map (all-gather over ICI) ---
         beams = jax.tree.map(
