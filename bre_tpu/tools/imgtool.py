@@ -55,13 +55,33 @@ def cmd_cat(args) -> int:
 
 
 def cmd_convert(args) -> int:
-    """Convert between formats with optional scale/tonemap
-    (imgtool.cpp convert)."""
+    """Convert between formats with the reference's post-ops
+    (imgtool.cpp convert: -scale, -tonemap/-maxluminance, -bloom*,
+    -repeatpix, -flipy)."""
     img = read_image(args.infile).astype(np.float32)
     img = img * args.scale
+
+    if args.bloomlevel < float("inf"):
+        # imgtool.cpp:~430-470: pixels above bloomlevel are blurred
+        # (bloomiters box passes of half-width bloomwidth) and blended in
+        bloom = np.where(
+            (img.max(-1, keepdims=True) > args.bloomlevel), img, 0.0)
+        w = max(1, int(args.bloomwidth))
+        for _ in range(max(1, args.bloomiters)):
+            k = np.ones(2 * w + 1, np.float32) / (2 * w + 1)
+            for ax in (0, 1):
+                bloom = np.apply_along_axis(
+                    lambda v: np.convolve(v, k, mode="same"), ax, bloom)
+        img = img + args.bloomscale * bloom
+
     if args.tonemap:
-        # simple Reinhard
+        # imgtool.cpp tonemap: scale by maxluminance then Reinhard-style
+        img = img / max(args.maxluminance, 1e-9)
         img = img / (1.0 + img)
+    if args.repeatpix > 1:
+        img = np.repeat(np.repeat(img, args.repeatpix, 0), args.repeatpix, 1)
+    if args.flipy:
+        img = img[::-1]
     write_image(args.outfile, img)
     print(f"imgtool: wrote {args.outfile}")
     return 0
@@ -101,6 +121,16 @@ def main(argv=None) -> int:
     v.add_argument("outfile")
     v.add_argument("--scale", type=float, default=1.0)
     v.add_argument("--tonemap", action="store_true")
+    v.add_argument("--maxluminance", type=float, default=1.0,
+                   help="luminance mapped to white by --tonemap")
+    v.add_argument("--bloomlevel", type=float, default=float("inf"),
+                   help="pixels above this bloom (imgtool convert -bloomlevel)")
+    v.add_argument("--bloomwidth", type=int, default=15)
+    v.add_argument("--bloomscale", type=float, default=0.3)
+    v.add_argument("--bloomiters", type=int, default=5)
+    v.add_argument("--repeatpix", type=int, default=1,
+                   help="replicate each pixel NxN")
+    v.add_argument("--flipy", action="store_true")
     a = sub.add_parser("assemble")
     a.add_argument("outfile")
     a.add_argument("images", nargs="+")

@@ -58,3 +58,39 @@ def test_native_lexer_matches_regex():
     got = tokenize_native(text)
     assert got is not None, "native lexer failed to build"
     assert got == want
+
+
+def test_imgtool_convert_postops(tmp_path):
+    """imgtool convert post-ops (imgtool.cpp: bloom, repeatpix, flipy,
+    tonemap/maxluminance)."""
+    import numpy as np
+
+    from bre_tpu.io.image import read_image, write_image
+    from bre_tpu.tools.imgtool import main as imgtool_main
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[2, 3] = 10.0  # a firefly for bloom
+    img[0, 0] = 0.5
+    src = tmp_path / "a.pfm"
+    write_image(str(src), img)
+
+    out = tmp_path / "b.pfm"
+    rc = imgtool_main([
+        "convert", str(src), str(out), "--repeatpix", "2", "--flipy",
+        "--bloomlevel", "5", "--bloomwidth", "1", "--bloomiters", "1",
+    ])
+    assert rc == 0
+    res = np.asarray(read_image(str(out)))
+    assert res.shape == (16, 16, 3)
+    # flipy: the 0.5 pixel moved from row 0 to the bottom rows
+    assert res[-1, 0, 0] >= 0.5
+    # bloom spread energy around the firefly: source row 2 col 3 blurs to
+    # rows 1-3 / cols 2-4, -> repeatpix rows 2-7 cols 4-9, -> flipy rows 8-13
+    assert res[9, 5, 0] > 0.0
+    assert (res[:, :, 0] > 0).sum() > 12
+
+    rc = imgtool_main(["convert", str(src), str(out), "--tonemap",
+                       "--maxluminance", "2.0"])
+    assert rc == 0
+    res = np.asarray(read_image(str(out)))
+    assert res.max() <= 1.0
