@@ -304,6 +304,14 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
             inc_path = ts.include_dir / inc
             sub = tokenize(inc_path.read_text())
             ts.toks[ts.pos:ts.pos] = sub
+        elif tok == "TransformTimes":
+            ts.next(), ts.next()  # start, end
+            warnings.warn(
+                "TransformTimes: scene transforms are static here; camera "
+                "motion blur is available programmatically via "
+                "core.animated + generate_rays_animated")
+        elif tok == "ActiveTransform":
+            ts.next()  # StartTime | EndTime | All
         elif tok == "Identity":
             ctm = np.eye(4, dtype=np.float32)
         elif tok == "Translate":
