@@ -671,6 +671,11 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 warnings.warn("realistic camera without lensfile; perspective")
                 camera = make_perspective_camera(
                     np.asarray(cam_to_world), 45.0, width, height)
+        elif cam_type == "environment":
+            from .camera import make_environment_camera
+
+            camera = make_environment_camera(
+                np.asarray(cam_to_world), width, height)
         else:
             warnings.warn(f"camera '{cam_type}' unsupported; using perspective")
             camera = make_perspective_camera(
