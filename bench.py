@@ -88,10 +88,19 @@ def main() -> None:
     baseline = None
     try:
         import pathlib
+        import re
 
-        rec = json.loads(
-            pathlib.Path(__file__).with_name("BENCH_r1.json").read_text())
-        baseline = float(rec.get("value") or 0) or None
+        here = pathlib.Path(__file__).parent
+        # Driver writes BENCH_r01.json, BENCH_r02.json, ... — baseline is the
+        # EARLIEST recorded round.  Records wrap the metric under "parsed".
+        recs = sorted(
+            here.glob("BENCH_r*.json"),
+            key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
+        )
+        if recs:
+            rec = json.loads(recs[0].read_text())
+            inner = rec.get("parsed", rec)
+            baseline = float(inner.get("value") or 0) or None
     except Exception:
         baseline = None
     print(

@@ -81,7 +81,7 @@ def _log_decay(ps, pe):
 
 
 def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
-                   chunk, mxu=False):
+                   chunk):
     j = pl.program_id(0)  # beam chunk (outer)
     i = pl.program_id(1)  # ray tile (inner)
 
@@ -105,11 +105,11 @@ def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
     @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j, i] > 0))
     def _compute():
         _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
-                     cam_radius, min_sin, mxu=mxu)
+                     cam_radius, min_sin)
 
 
 def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
-                 cam_radius, min_sin, mxu=False):
+                 cam_radius, min_sin):
     r_row = lambda k: rays_ref[0, k : k + 1, :]  # (1,T)
     b_col = lambda k: beams_ref[0, :, k : k + 1]  # (C,1)
 
@@ -119,40 +119,18 @@ def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
     b0 = [b_col(BF_B0 + c) for c in range(3)]
     d2 = [b_col(BF_B1 + c) - b0[c] for c in range(3)]
 
-    # Ericson 5.1.9 exact segment-segment closest points on (C,T) tiles
+    # Ericson 5.1.9 exact segment-segment closest points on (C,T) tiles.
+    # All dot products stay in direct VPU form: routing them through (C,3)@
+    # (3,T) MXU matmuls was measured on v5e and rejected (BASELINE.md — at
+    # DEFAULT precision the MXU rounds f32 operands to bf16, biasing geometry;
+    # Precision.HIGHEST is exact but 0.64x), and the bilinear expansion of
+    # d1.rr / d2.rr cancels catastrophically far from the origin.
     a = sum(d1[c] * d1[c] for c in range(3))  # (1,T)
     e = sum(d2[c] * d2[c] for c in range(3))  # (C,1)
-    if mxu:
-        # The four bilinear (beam x ray) 3-term dot products ride the MXU as
-        # tiny-K matmuls instead of 3 VPU FMA sweeps each:
-        #   b  = d2.d1   X1 = b0.d1   X2 = d2.a0   CN = d2.dir
-        # c_ = d1.rr and f = d2.rr split into bilinear + per-side terms
-        # (rr = a0 - b0), deleting the 3 (C,T) rr temps entirely.  dist2 and
-        # the closest-point clamps stay in exact direct form (no expansion:
-        # the |rr|^2 cancellation would cost float32 precision).
-        d1m = jnp.concatenate(d1, 0)  # (3,T)
-        a0m = jnp.concatenate(a0, 0)  # (3,T)
-        dirm = jnp.concatenate([r_row(RF_DIR + c) for c in range(3)], 0)
-        d2m = jnp.concatenate(d2, 1)  # (C,3)
-        b0m = jnp.concatenate(b0, 1)  # (C,3)
-        dn = (((1,), (0,)), ((), ()))  # (C,3) @ (3,T)
-        mm = lambda L, R: jax.lax.dot_general(
-            L, R, dn, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        b = mm(d2m, d1m)   # (C,T)
-        X1 = mm(b0m, d1m)
-        X2 = mm(d2m, a0m)
-        CN = mm(d2m, dirm)
-        da = sum(d1[c] * a0[c] for c in range(3))  # (1,T)
-        db = sum(d2[c] * b0[c] for c in range(3))  # (C,1)
-        c_ = da - X1
-        f = X2 - db
-    else:
-        rr = [a0[c] - b0[c] for c in range(3)]  # (C,T)
-        b = sum(d1[c] * d2[c] for c in range(3))  # (C,T)
-        c_ = sum(d1[c] * rr[c] for c in range(3))
-        f = sum(d2[c] * rr[c] for c in range(3))
-        CN = None
+    rr = [a0[c] - b0[c] for c in range(3)]  # (C,T)
+    b = sum(d1[c] * d2[c] for c in range(3))  # (C,T)
+    c_ = sum(d1[c] * rr[c] for c in range(3))
+    f = sum(d2[c] * rr[c] for c in range(3))
     denom = a * e - b * b
     s = jnp.where(denom > 1e-12, (b * f - c_ * e) / jnp.where(denom > 1e-12, denom, 1.0), 0.0)
     s = jnp.clip(s, 0.0, 1.0)
@@ -182,11 +160,8 @@ def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
     # segment; s is already clipped to [0,1])
     frac_c = s
 
-    if CN is not None:
-        cos_theta = CN * inv_beam_len
-    else:
-        cos_theta = sum(
-            r_row(RF_DIR + c) * (d2[c] * inv_beam_len) for c in range(3))
+    cos_theta = sum(
+        r_row(RF_DIR + c) * (d2[c] * inv_beam_len) for c in range(3))
     gg = r_row(RF_G)
     denom_hg = jnp.maximum(1.0 + gg * gg + 2.0 * gg * cos_theta, 1e-12)
     rs = jax.lax.rsqrt(denom_hg)
@@ -220,7 +195,6 @@ def pallas_gather_forward(
     chunk: int,
     group_tiles: int = 64,
     block_mask: jnp.ndarray | None = None,  # (n_chunks, n_tiles) f32, 0=skip
-    mxu: bool = False,
 ) -> jnp.ndarray:
     """Returns (n_tiles, 8, T) with channels in rows 0..2.
 
@@ -240,7 +214,7 @@ def pallas_gather_forward(
     def run_group(rp, mk):
         g_tiles = rp.shape[0]
         return pl.pallas_call(
-            partial(_gather_kernel, chunk=chunk, mxu=mxu),
+            partial(_gather_kernel, chunk=chunk),
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
