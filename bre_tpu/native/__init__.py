@@ -112,6 +112,56 @@ def read_ply_native(path):
     return verts, tris
 
 
+_IMG_SO = _DIR / "libimage_filters.so"
+_IMG_SRC = _DIR / "image_filters.cpp"
+_img_lib = None
+_img_tried = False
+
+
+def _load_img() -> Optional[ctypes.CDLL]:
+    global _img_lib, _img_tried
+    if _img_lib is not None or _img_tried:
+        return _img_lib
+    _img_tried = True
+    try:
+        if (not _IMG_SO.exists()
+                or _IMG_SO.stat().st_mtime < _IMG_SRC.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", str(_IMG_SRC),
+                 "-o", str(_IMG_SO)],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(str(_IMG_SO))
+        lib.png_unfilter.restype = ctypes.c_int64
+        lib.png_unfilter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _img_lib = lib
+    except Exception:
+        _img_lib = None
+    return _img_lib
+
+
+def png_unfilter_native(raw: bytes, h: int, stride: int, fbpp: int):
+    """Reconstruct PNG scanlines with the C++ filter decoder (the lodepng
+    analog).  Returns an (h, stride) uint8 array, or None to signal the
+    caller to use the pure-Python fallback."""
+    import numpy as np
+
+    lib = _load_img()
+    if lib is None or len(raw) != h * (stride + 1):
+        return None
+    src = np.frombuffer(raw, np.uint8)
+    out = np.empty((h, stride), np.uint8)
+    rc = lib.png_unfilter(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, stride, fbpp,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
 def tokenize_native(text: str) -> Optional[List[str]]:
     """Tokenize with the C++ lexer; None if the native path is unavailable."""
     lib = _load()

@@ -37,9 +37,10 @@ def cmd_diff(args) -> int:
     )
     if args.outfile:
         write_image(args.outfile, np.abs(diff).astype(np.float32))
-    if args.tol is not None and mse > args.tol:
-        return 1
-    return 0
+    if args.tol is not None:
+        return 1 if mse > args.tol else 0
+    # no tolerance: exit 1 on ANY difference (imgtool.cpp diff semantics)
+    return 1 if n_diff > 0 else 0
 
 
 def cmd_cat(args) -> int:
