@@ -1,16 +1,111 @@
-"""Generated Sobol' matrices (core/sobol.py).
+"""Sobol' matrices (core/sobol.py): bit-exactness + sequence properties.
 
-Reference: src/core/lowdiscrepancy.h:251-276 (SobolSample) +
-src/core/sobolmatrices.cpp (1024-dim table).  The reference's sampling tests
-(src/tests/sampling.cpp) check elementary-interval stratification of the
-first dimensions; these tests extend that to the generated high dimensions.
+Reference: src/core/lowdiscrepancy.h:230-276 (SobolIntervalToIndex /
+SobolSample) + src/core/sobolmatrices.cpp (1024-dim Joe-Kuo table).  The
+reference's sampling tests (src/tests/sampling.cpp) check elementary-interval
+stratification of the first dimensions; these tests extend that to all
+dimensions AND pin the tables bitwise to the reference data.
 """
+
+import re
+from pathlib import Path
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from bre_tpu.core.lowdiscrepancy import reverse_bits_32
-from bre_tpu.core.sobol import N_SOBOL_DIMS, SOBOL_MATRICES, sobol_sample
+from bre_tpu.core.sobol import (
+    N_SOBOL_DIMS,
+    SOBOL_MATRICES,
+    SOBOL_MATRIX_SIZE,
+    TABLES_BIT_EXACT,
+    VDC_SOBOL_MATRICES,
+    VDC_SOBOL_MATRICES_INV,
+    sobol_interval_to_index,
+    sobol_sample,
+    sobol_sample_u32,
+)
+
+_REF = Path("/root/reference/src/core/sobolmatrices.cpp")
+
+
+def test_tables_are_bit_exact_flag():
+    assert TABLES_BIT_EXACT, "extracted sobol_tables.npz must be present"
+    assert SOBOL_MATRICES.shape == (1024, SOBOL_MATRIX_SIZE)
+    assert VDC_SOBOL_MATRICES.shape == (25, 52)
+    assert VDC_SOBOL_MATRICES_INV.shape == (26, 52)
+
+
+def test_spot_values_match_reference_transcription():
+    """Hand-transcribed spot values from sobolmatrices.cpp (runs without the
+    reference checkout)."""
+    expect = {
+        (0, 0): 0x80000000, (0, 3): 0x10000000, (0, 51): 0x0,
+        (1, 0): 0x80000000, (1, 1): 0xC0000000, (1, 3): 0xF0000000,
+        (1, 51): 0xF000F000,
+        (2, 2): 0x60000000, (2, 3): 0x90000000, (2, 51): 0x90000000,
+        (3, 3): 0x50000000, (3, 51): 0x25D93000,
+        (511, 51): 0x02053342,
+        (1023, 2): 0xA0000000, (1023, 51): 0x1397876E,
+    }
+    for (d, k), v in expect.items():
+        assert int(SOBOL_MATRICES[d, k]) == v, (d, k)
+    assert int(VDC_SOBOL_MATRICES[0, 0]) == 1
+    assert [int(x) for x in VDC_SOBOL_MATRICES_INV[3, :4]] == [
+        0xF0, 0x50, 0x30, 0x10]
+
+
+@pytest.mark.skipif(not _REF.exists(), reason="reference checkout not present")
+def test_full_table_bitwise_vs_reference_source():
+    """Re-parse ALL 1024x52 entries from the reference source text and
+    compare bitwise (VERDICT round-1 item 6)."""
+    src = _REF.read_text()
+    i = src.index("SobolMatrices32[")
+    start = src.index("{", i) + 1
+    end = src.index("};", start)
+    body = re.sub(r"//.*", "", src[start:end])
+    vals = np.array(
+        [int(v, 0) for v in re.findall(r"0x[0-9a-fA-F]+", body)], np.uint32)
+    assert vals.size == 1024 * 52
+    np.testing.assert_array_equal(
+        SOBOL_MATRICES, vals.reshape(1024, 52))
+
+
+def test_interval_to_index_lands_in_pixel():
+    """SobolSample(SobolIntervalToIndex(m, f, p), 0/1) must fall inside
+    pixel p of the 2^m frame — the property the GlobalSampler protocol
+    relies on (sampler.h:106-116, samplers/sobol.cpp)."""
+    for m in (2, 4, 7):
+        res = 1 << m
+        rs = np.random.RandomState(m)
+        px = jnp.asarray(rs.randint(0, res, 32), jnp.uint32)
+        py = jnp.asarray(rs.randint(0, res, 32), jnp.uint32)
+        for frame in (0, 1, 5, 1000):
+            f = jnp.full((32,), frame, jnp.uint32)
+            hi, lo = sobol_interval_to_index(m, f, px, py)
+            x = np.asarray(sobol_sample(lo, 0, a_hi=hi))
+            y = np.asarray(sobol_sample(lo, 1, a_hi=hi))
+            np.testing.assert_array_equal((x * res).astype(int), np.asarray(px))
+            np.testing.assert_array_equal((y * res).astype(int), np.asarray(py))
+
+
+def test_interval_to_index_distinct_per_frame():
+    m = 3
+    f = jnp.arange(64, dtype=jnp.uint32)
+    px = jnp.full((64,), 2, jnp.uint32)
+    py = jnp.full((64,), 5, jnp.uint32)
+    hi, lo = sobol_interval_to_index(m, f, px, py)
+    key = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo).astype(np.uint64)
+    assert len(np.unique(key)) == 64
+
+
+def test_high_index_bits_change_samples():
+    lo = jnp.zeros((4,), jnp.uint32)
+    hi = jnp.asarray([0, 1, 2, 3], jnp.uint32)
+    v = np.asarray(sobol_sample_u32(lo, 3, a_hi=hi))
+    assert len(np.unique(v)) == 4  # columns 32.. are live
 
 
 def test_dim0_is_van_der_corput():
