@@ -26,6 +26,10 @@ __all__ = [
     "radical_inverse",
     "radical_inverse_dynamic",
     "reverse_bits_32",
+    "radical_inverse_permutations",
+    "scrambled_radical_inverse_dynamic",
+    "inverse_radical_inverse",
+    "N_SCRAMBLE_DIMS",
 ]
 
 
@@ -119,6 +123,125 @@ def radical_inverse(base_index: int, a: jnp.ndarray) -> jnp.ndarray:
 
 
 _PRIMES_J = jnp.asarray(PRIMES, jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Scrambled radical inverse (HaltonSampler dims >= 2)
+# ---------------------------------------------------------------------------
+
+# Permutations generated for the first N primes only: the pbrt table covers
+# all 1000 (3.7M uint16), but an integrator consumes ~10 dims/bounce, so 128
+# primes cover maxdepth ~12; higher dims fall back to the PCG32 stream (the
+# same fallback the fork's AwesomeSampler uses past dim 1000).
+N_SCRAMBLE_DIMS = 128
+
+
+def _pcg32_host_default():
+    """Scalar pbrt RNG() with the DEFAULT state/stream (rng.h:61-63, default
+    ctor skips SetSequence) — used only to reproduce the deterministic digit
+    permutations of ComputeRadicalInversePermutations."""
+    state = 0x853C49E6748FEA9B
+    inc = 0xDA3E39CB94B95BDB
+    MULT = 0x5851F42D4C957F2D
+    M64 = (1 << 64) - 1
+
+    def next_u32():
+        nonlocal state
+        old = state
+        state = (old * MULT + inc) & M64
+        xorshifted = (((old >> 18) ^ old) >> 27) & 0xFFFFFFFF
+        rot = old >> 59
+        return ((xorshifted >> rot) | (xorshifted << ((-rot) & 31))) & 0xFFFFFFFF
+
+    def uniform_u32_bounded(b):
+        threshold = ((1 << 32) - b) % b
+        while True:
+            r = next_u32()
+            if r >= threshold:
+                return r % b
+
+    return uniform_u32_bounded
+
+
+_PERM_CACHE = {}
+
+
+def radical_inverse_permutations(n_dims: int = N_SCRAMBLE_DIMS):
+    """First ``n_dims`` primes' digit permutations, bit-exact with pbrt's
+    ``ComputeRadicalInversePermutations(RNG())`` (lowdiscrepancy.cpp:2500-2514
+    + Shuffle, sampling.h:~90).  Returns (flat uint16 perms, int32 offsets)."""
+    if n_dims in _PERM_CACHE:
+        return _PERM_CACHE[n_dims]
+    draw = _pcg32_host_default()
+    flat = []
+    offsets = np.zeros(n_dims, np.int32)
+    off = 0
+    for i in range(n_dims):
+        p = int(PRIMES[i])
+        perm = list(range(p))
+        # Shuffle(perm, p, 1, rng): other = i + UniformUInt32(count - i)
+        for j in range(p):
+            other = j + draw(p - j)
+            perm[j], perm[other] = perm[other], perm[j]
+        offsets[i] = off
+        flat.extend(perm)
+        off += p
+    out = (np.asarray(flat, np.uint16), offsets)
+    _PERM_CACHE[n_dims] = out
+    return out
+
+
+def scrambled_radical_inverse_dynamic(base_index, a) -> jnp.ndarray:
+    """ScrambledRadicalInverse (lowdiscrepancy.cpp:2516+ dispatching to
+    ScrambledRadicalInverseSpecialized :417-435) with a traced per-lane or
+    scalar ``base_index`` < N_SCRAMBLE_DIMS.  Bit-exact digit permutations;
+    includes the infinite-tail term perm[0]*invBase/(1-invBase)."""
+    perm_flat, offsets = radical_inverse_permutations()
+    permj = jnp.asarray(perm_flat, jnp.uint32)
+    offj = jnp.asarray(offsets, jnp.int32)
+    base_index = jnp.clip(jnp.asarray(base_index, jnp.int32), 0,
+                          N_SCRAMBLE_DIMS - 1)
+    a = jnp.asarray(a, jnp.uint32)
+    base = _PRIMES_J[base_index]
+    off = offj[base_index]
+    inv_base = 1.0 / base.astype(jnp.float32)
+    rd_hi = jnp.zeros_like(a)
+    rd_lo = jnp.zeros_like(a)
+    inv_base_n = jnp.ones(a.shape, jnp.float32)
+    cur = a
+    for _ in range(32):
+        nxt = cur // base
+        digit = cur - nxt * base
+        pdigit = permj[off + digit.astype(jnp.int32)]
+        lo_lo = (rd_lo & jnp.uint32(0xFFFF)) * base
+        lo_up = (rd_lo >> 16) * base
+        lo_prod = lo_lo + (lo_up << 16)
+        carry_mid = (lo_prod < lo_lo).astype(jnp.uint32)
+        new_lo = lo_prod + pdigit
+        carry_dig = (new_lo < lo_prod).astype(jnp.uint32)
+        new_hi = rd_hi * base + (lo_up >> 16) + carry_mid + carry_dig
+        live = cur > 0
+        rd_hi = jnp.where(live, new_hi, rd_hi)
+        rd_lo = jnp.where(live, new_lo, rd_lo)
+        inv_base_n = inv_base_n * jnp.where(live, inv_base, 1.0)
+        cur = nxt
+    rd = rd_hi.astype(jnp.float32) * jnp.float32(2.0**32) + rd_lo.astype(jnp.float32)
+    perm0 = permj[off].astype(jnp.float32)
+    tail = inv_base * perm0 / (1.0 - inv_base)
+    return jnp.minimum(inv_base_n * (rd + tail), ONE_MINUS_EPSILON)
+
+
+def inverse_radical_inverse(base: int, inverse, n_digits: int):
+    """InverseRadicalInverse<base> (lowdiscrepancy.h:~95): reverse the
+    ``n_digits`` base-``base`` digits of ``inverse`` (uint32 array)."""
+    inverse = jnp.asarray(inverse, jnp.uint32)
+    index = jnp.zeros_like(inverse)
+    b = jnp.uint32(base)
+    for _ in range(n_digits):
+        digit = inverse % b
+        inverse = inverse // b
+        index = index * b + digit
+    return index
 
 
 def radical_inverse_dynamic(base_index: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:

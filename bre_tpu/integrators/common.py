@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.math import absdot, dot, offset_ray_origin
-from ..core.rng import PCG32State, pcg32_next_f32
+from ..core.rng import PCG32State
+from ..core.samplers import stream_1d
 from ..lights import sample_li
 from ..materials import eval_bsdf
 from ..media import gather_medium, hg_p, tr_homogeneous
@@ -61,7 +62,7 @@ def sample_one_light(
     n_lights = scene.n_lights
     if n_lights == 0:
         return rng, jnp.zeros((R, 3))
-    rng, u_pick = pcg32_next_f32(rng)
+    rng, u_pick = stream_1d(rng)
     if light_distrib is not None:
         from ..lights import sample_light_spatial
 
@@ -71,8 +72,8 @@ def sample_one_light(
         light_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32),
                                 n_lights - 1)
         inv_pick = jnp.full((R,), jnp.float32(n_lights))
-    rng, ua = pcg32_next_f32(rng)
-    rng, ub = pcg32_next_f32(rng)
+    rng, ua = stream_1d(rng)
+    rng, ub = stream_1d(rng)
     contrib = _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx,
                        is_surface, jnp.stack([ua, ub], -1),
                        tangent, uv, duv_dx, duv_dy)
@@ -128,8 +129,8 @@ def sample_all_lights(
     R = p.shape[0]
     total = jnp.zeros((R, 3))
     for li in range(scene.n_lights):
-        rng, ua = pcg32_next_f32(rng)
-        rng, ub = pcg32_next_f32(rng)
+        rng, ua = stream_1d(rng)
+        rng, ub = stream_1d(rng)
         total = total + _nee_one(
             scene, jnp.full((R,), li, jnp.int32), p, n, wo, mat_idx, med_idx,
             is_surface, jnp.stack([ua, ub], -1), tangent, uv, duv_dx, duv_dy)

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.math import absdot, dot, offset_ray_origin
-from ..core.rng import pcg32_init, pcg32_next_f32
+from ..core.rng import pcg32_init
+from ..core.samplers import stream_1d
 from ..core.spectrum import luminance
 from ..lights import area_light_emitted, escaped_radiance
 from ..materials import MODE_RADIANCE, maybe_has_bssrdf, sample_bsdf
@@ -93,9 +94,9 @@ def _bssrdf_exit(scene: Scene, rng, active, po_p, ns, mi):
 
     ss, ts = coordinate_system(ns)
 
-    rng, u1 = pcg32_next_f32(rng)
-    rng, u2a = pcg32_next_f32(rng)
-    rng, u2b = pcg32_next_f32(rng)
+    rng, u1 = stream_1d(rng)
+    rng, u2a = stream_1d(rng)
+    rng, u2b = stream_1d(rng)
 
     # projection axis (.5/.25/.25 split favoring the normal, bssrdf.cpp:251-270)
     c_n = u1 < 0.5
@@ -175,10 +176,10 @@ def _bssrdf_nee(scene: Scene, rng, p, n, eta, med_idx):
     n_lights = scene.n_lights
     if n_lights == 0:
         return rng, jnp.zeros((R, 3))
-    rng, u_pick = pcg32_next_f32(rng)
+    rng, u_pick = stream_1d(rng)
     light_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
-    rng, ua = pcg32_next_f32(rng)
-    rng, ub = pcg32_next_f32(rng)
+    rng, ua = stream_1d(rng)
+    rng, ub = stream_1d(rng)
     ls = sample_li(scene, light_idx, p, jnp.stack([ua, ub], -1))
     cos_i = dot(ls.wi, n)
     f = (sw_factor(eta, cos_i) * eta * eta * jnp.maximum(cos_i, 0.0))[:, None]
@@ -242,8 +243,8 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
             jnp.full((R,), -1, jnp.int32), medium, jnp.zeros((R,), bool),
         )
         L = L + jnp.where(scattered[:, None], beta * nee_med, 0.0)
-        rng, p0 = pcg32_next_f32(rng)
-        rng, p1 = pcg32_next_f32(rng)
+        rng, p0 = stream_1d(rng)
+        rng, p1 = stream_1d(rng)
         _, _, g_here, _, _ = gather_medium(scene.media, medium)
         wi_phase, _ = hg_sample_p(-d, g_here, jnp.stack([p0, p1], -1))
 
@@ -284,8 +285,8 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
         )
         L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
 
-        rng, s0 = pcg32_next_f32(rng)
-        rng, s1 = pcg32_next_f32(rng)
+        rng, s0 = stream_1d(rng)
+        rng, s1 = stream_1d(rng)
         bs = sample_bsdf(
             scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
             mode=MODE_RADIANCE, tangent=h.tangent,
@@ -357,8 +358,8 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
             L = L + jnp.where(sss_ok[:, None], beta_sss * nee_sss, 0.0)
             # indirect continuation: cosine-sample the adapter
             # (SeparableBSSRDFAdapter::f = Sw; f*cos/pdf_cos = pi*Sw)
-            rng, q0 = pcg32_next_f32(rng)
-            rng, q1 = pcg32_next_f32(rng)
+            rng, q0 = stream_1d(rng)
+            rng, q1 = stream_1d(rng)
             wl = cosine_sample_hemisphere(jnp.stack([q0, q1], -1))
             from ..core.math import coordinate_system as _csys
 
@@ -384,7 +385,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
         new_first = state["first"] & is_boundary
 
         # Russian roulette past 3 bounces (volpath.cpp:150-158)
-        rng, u_rr = pcg32_next_f32(rng)
+        rng, u_rr = stream_1d(rng)
         y = luminance(new_beta)
         do_rr = new_alive & (y < cfg.rrthreshold) & (bounces > 3)
         q = jnp.maximum(0.05, 1.0 - y)
@@ -420,7 +421,10 @@ def render_volpath(
     R = width * height
     pix = pixel_centers(width, height)
 
-    from ..core.samplers import camera_jitter
+    from ..core.samplers import (make_sample_stream, make_stream_spec,
+                                 stream_camera_sample)
+
+    spec = make_stream_spec(cfg.sampler, width, height, cfg.spp)
 
     # EWA texture filtering needs ray differentials + an image atlas
     use_diffs = bool(cfg.texture_filter) and scene.textures.atlas.shape[0] > 1
@@ -450,11 +454,12 @@ def render_volpath(
     def one_pass(sample_idx):
         # sample_idx is traced: one compile serves every spp pass
         pix_idx = jnp.arange(R, dtype=jnp.uint32)
-        rng = pcg32_init(sample_idx * jnp.uint32(R) + pix_idx + jnp.uint32(0x9E37))
-        rng, j2 = camera_jitter(cfg.sampler, pix_idx, sample_idx, cfg.spp, rng)
-        rng, ul0 = pcg32_next_f32(rng)
-        rng, ul1 = pcg32_next_f32(rng)
-        u_lens = jnp.stack([ul0, ul1], -1)
+        raw = pcg32_init(sample_idx * jnp.uint32(R) + pix_idx + jnp.uint32(0x9E37))
+        px = pix_idx % jnp.uint32(width)
+        py = pix_idx // jnp.uint32(width)
+        rng = make_sample_stream(spec, pix_idx, px, py, sample_idx, raw)
+        # dims 0-4: film jitter, time, lens (GetCameraSample order)
+        rng, j2, _time, u_lens = stream_camera_sample(rng)
         diffs = None
         if use_diffs:
             from ..scene.camera import generate_ray_differentials

@@ -264,17 +264,23 @@ def sample_medium(
     primary-sample-space callers (MLT) that route structural decisions
     through a mutable sample vector (mlt.h MLTSampler streams).
     """
+    from .core.samplers import stream_1d, stream_rng, stream_with_rng
+
     sigma_a, sigma_s, g, is_grid, in_medium = gather_medium(media, med_idx)
     if u12 is None:
-        rng, u1 = pcg32_next_f32(rng)
-        rng, u2 = pcg32_next_f32(rng)
+        # sampler-driven dims (LD streams reach the homogeneous channel +
+        # distance draws; the grid tracking scan below stays on raw PCG32)
+        rng, u1 = stream_1d(rng)
+        rng, u2 = stream_1d(rng)
     else:
         u1, u2 = u12[..., 0], u12[..., 1]
     hs = sample_homogeneous(sigma_a, sigma_s, d, t_max, u1, u2)
     # Static presence check: the density brick is (1,1,1) iff no grid medium.
     has_grid = media.density.size > 1
     if has_grid:
-        rng, gs, n_overflow = sample_grid(media, sigma_a, sigma_s, o, d, t_max, rng, max_steps)
+        raw, gs, n_overflow = sample_grid(
+            media, sigma_a, sigma_s, o, d, t_max, stream_rng(rng), max_steps)
+        rng = stream_with_rng(rng, raw)
         sampled = jnp.where(is_grid, gs.sampled, hs.sampled) & in_medium
         t = jnp.where(is_grid, gs.t, hs.t)
         weight = jnp.where(is_grid[..., None], gs.weight, hs.weight)
