@@ -183,6 +183,70 @@ def _interp_power(power_start, power_end, frac):
     return jnp.where(ok, p, 0.0)
 
 
+HETERO_NODES = 8  # quadrature nodes per segment in heterogeneous mode
+
+
+def medium_interval_nodes(media: Media, med_idx, p0, p1, K: int = HETERO_NODES):
+    """Per-interval optical thickness + node densities for a batch of
+    segments (N,3)->(N,3): ``taud`` (N,K,3) = sigma_t * density * len/K at K
+    midpoints, ``dens`` (N,K) the trilinear density (1 for non-grid media).
+
+    The heterogeneous gather evaluates transmittance and sigma_s at the
+    closest point from these tables instead of endpoint exponential
+    interpolation (exact only for homogeneous decay — VERDICT round-1 item 3;
+    reference semantics: GridDensityMedium Tr, media/grid.cpp:89-120, where
+    sigma_s(x) = sigma_s * density(x)).  Piecewise evaluation is gather-free:
+    tau(f) = sum_k taud_k * clamp(f*K - k, 0, 1).
+    """
+    from ..media import gather_medium, grid_density
+
+    sigma_a, sigma_s, _g, is_grid, in_med = gather_medium(media, med_idx)
+    sigma_t = sigma_a + sigma_s  # (N,3)
+    seg_len = length(p1 - p0)  # (N,)
+    fr = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    pts = p0[:, None, :] + fr[None, :, None] * (p1 - p0)[:, None, :]
+    if media.density.size > 1:
+        from ..core import transform as tfm
+
+        # grid_density samples MEDIUM space ([0,1]^3; grid.cpp:46-60)
+        pts_m = tfm.apply_point(media.world_to_medium, pts)
+        dens = grid_density(media.density, pts_m)  # (N,K)
+        dens = jnp.where(is_grid[:, None], dens, 1.0)
+    else:
+        dens = jnp.ones(seg_len.shape + (K,), jnp.float32)
+    taud = sigma_t[:, None, :] * (dens * (seg_len / K)[:, None])[:, :, None]
+    taud = jnp.where(in_med[:, None, None], taud, 0.0)
+    dens = jnp.where(in_med[:, None], dens, 1.0)
+    return taud, dens
+
+
+def _tau_at(taud, frac):
+    """Cumulative optical depth at fractional position ``frac`` from
+    per-interval thicknesses.  taud: (N,K,3) broadcastable against frac
+    (..., N); returns (...,3)-shaped tau via K fused clamps (no gathers)."""
+    K = taud.shape[-2]
+    fK = frac[..., None] * K  # (...,1)
+    acc = 0.0
+    for k in range(K):
+        w = jnp.clip(fK - k, 0.0, 1.0)
+        acc = acc + taud[..., k, :] * w
+    return acc
+
+
+def _dens_at(dens, frac):
+    """Node density at fractional position: piecewise-linear interpolation of
+    the K midpoint nodes with constant end extension (triangular hats on the
+    clamped coordinate form a partition of unity — a naive hat sum reads 0 in
+    the outer half-cells).  No gathers."""
+    K = dens.shape[-1]
+    x = jnp.clip(frac * K, 0.5, K - 0.5) - 0.5  # in [0, K-1]
+    acc = 0.0
+    for k in range(K):
+        w = jnp.clip(1.0 - jnp.abs(x - k), 0.0, 1.0)
+        acc = acc + dens[..., k] * w
+    return acc
+
+
 def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
                    min_sin_theta: float, grad_geometry: bool = True,
                    grad_extras: bool = True) -> jnp.ndarray:
@@ -223,18 +287,31 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
         contrib = w[..., None] * c_pe
     else:
         # physically normalized 1D-1D BRE
+        hetero = "tau_cam_nodes" in seg  # static (dict structure)
         beam_len = jnp.maximum(length(c_end - c_start), 1e-30)
         b_dirn = (c_end - c_start) / beam_len[..., None]
         t_b = jnp.sum((pb - c_start) * b_dirn, -1)
-        p_at = _interp_power(c_ps, c_pe, t_b / beam_len)  # (R,C,3)
-
+        frac_b = jnp.clip(t_b / beam_len, 0.0, 1.0)
         t_c = jnp.sum((pa - seg["a0"][:, None, :]) * seg["dir"][:, None, :], -1)
         frac_c = jnp.clip(t_c / seg["len"][:, None], 0.0, 1.0)
-        tr_cam = _interp_power(
-            jnp.ones_like(seg["tr_full"])[:, None, :],
-            jnp.maximum(seg["tr_full"], 1e-30)[:, None, :],
-            frac_c,
-        )
+        if hetero:
+            # Heterogeneous media: transmittance and sigma_s from per-segment
+            # quadrature node tables (medium_interval_nodes) — endpoint
+            # exponential interpolation is exact only for uniform extinction,
+            # and sigma_s at the gather point carries the local density
+            # (grid.cpp:46-60; VERDICT round-1 item 3).
+            p_at = c_ps * jnp.exp(-_tau_at(cb["tau_nodes"][None], frac_b))
+            tr_cam = jnp.exp(-_tau_at(seg["tau_cam_nodes"][:, None], frac_c))
+            dens_c = _dens_at(seg["dens_cam_nodes"][:, None], frac_c)  # (R,C)
+            sigs = seg["sigma_s"][:, None, :] * dens_c[..., None]
+        else:
+            p_at = _interp_power(c_ps, c_pe, frac_b)  # (R,C,3)
+            tr_cam = _interp_power(
+                jnp.ones_like(seg["tr_full"])[:, None, :],
+                jnp.maximum(seg["tr_full"], 1e-30)[:, None, :],
+                frac_c,
+            )
+            sigs = seg["sigma_s"][:, None, :]
 
         cos_theta = jnp.sum(seg["dir"][:, None, :] * b_dirn, -1)
         rho = phase_hg(cos_theta, sx(seg["g"])[:, None])
@@ -244,7 +321,7 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
         )
         # Epanechnikov line kernel, integral over [-W, W] == 1
         k1 = 0.75 * (1.0 - r * r) / jnp.maximum(width, 1e-30)
-        w = (rho * k1 / sin_theta)[..., None] * seg["sigma_s"][:, None, :]
+        w = (rho * k1 / sin_theta)[..., None] * sigs
         contrib = power_scale * w * p_at * tr_cam
         contrib = contrib * seg["in_med_f"][:, None, None]
 
@@ -513,6 +590,8 @@ def gather_beams_bruteforce(
     grad_geometry: bool = True,
     grad_extras: bool = True,
     assume_compacted: bool = False,
+    hetero: bool = False,
+    beams_medium: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Accumulate beam radiance onto R camera segments. Returns (R,3).
 
@@ -576,6 +655,14 @@ def gather_beams_bruteforce(
         cam_radius=jnp.broadcast_to(jnp.asarray(cam_radius, jnp.float32), ()),
         n_valid_beams=n_valid_beams,
     )
+    if hetero and kernel == KERNEL_BRE:
+        bm = beams_medium if beams_medium is not None else beams.medium
+        taud_b, _ = medium_interval_nodes(media, bm, beams.start, beams.end)
+        pb["tau_nodes"] = pad(taud_b)
+        taud_c, dens_c = medium_interval_nodes(media, seg_medium, seg_a0, seg_a1)
+        seg["tau_cam_nodes"] = taud_c
+        seg["dens_cam_nodes"] = dens_c
+        backend = "xla"  # the Pallas kernels carry no node tables
     cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale),
            float(min_sin_theta), bool(grad_geometry), bool(grad_extras))
     if backend == "pallas" and kernel == KERNEL_BRE:

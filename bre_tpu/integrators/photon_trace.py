@@ -77,11 +77,13 @@ def _segment_tr(scene: Scene, med_idx, o, d, t_end):
         om, dm, dlen, t0, t1, hit_box = _grid_ray_setup(scene.media, o, d, t_end)
         n_q = 16
         sigma_t = (sigma_a + sigma_s)[..., 0]
+        # t0/t1 are MEDIUM-space distances (dm normalized); sigma is per
+        # WORLD unit -> divide by dlen (medium units per world unit)
         dt = jnp.maximum(t1 - t0, 0.0) / n_q
         ts = t0[..., None] + (jnp.arange(n_q) + 0.5) * dt[..., None]
         pts = om[..., None, :] + ts[..., None] * dm[..., None, :]
         dens = grid_density(scene.media.density, pts)
-        tau = sigma_t * jnp.sum(dens, -1) * dt
+        tau = sigma_t * jnp.sum(dens, -1) * dt / jnp.maximum(dlen, 1e-30)
         tr_g = jnp.exp(-tau)[..., None] * jnp.ones((3,))
         tr = jnp.where(is_grid[..., None], tr_g, tr)
     return jnp.where(in_medium[..., None], tr, 1.0)
@@ -105,6 +107,7 @@ def trace_photon_beams(
     max_depth: int,
     beam_radius,
     detach_sampling: bool = False,
+    long_beams: bool = True,
 ) -> Tuple[Beams, dict]:
     """Trace ``photons_per_iter`` photon paths, emitting beam segments.
 
@@ -118,7 +121,7 @@ def trace_photon_beams(
     )
     return trace_photon_beams_by_index(
         scene, light_distr, halton_index, max_depth, beam_radius,
-        detach_sampling=detach_sampling,
+        detach_sampling=detach_sampling, long_beams=long_beams,
     )
 
 
@@ -129,6 +132,7 @@ def trace_photon_beams_by_index(
     max_depth: int,
     beam_radius,
     detach_sampling: bool = False,
+    long_beams: bool = True,
 ) -> Tuple[Beams, dict]:
     """Shardable core: trace one photon per entry of ``halton_index`` (the
     global photon stream id ``iter*photonsPerIter + photonIndex``).  A device
@@ -145,7 +149,18 @@ def trace_photon_beams_by_index(
     reparametrized estimator's missing boundary terms at the scatter-vs-
     surface discontinuity).  Cuts the trace backward several-fold: without
     it, sigma gradients flow t -> origin -> intersect -> BSDF chains at
-    every walk step."""
+    every walk step.
+
+    ``long_beams``: store each beam to the SURFACE hit with analytic
+    power decay ("long beams", Jarosz et al. 2011) — required by the
+    normalized BRE gather, whose power interpolation represents extinction
+    analytically; scatter-truncated storage would carry extinction a second
+    time through the stochastic beam length (e^-2*sigma_t*d bias, caught by
+    the single-scatter airlight check).  ``False`` stores scatter-truncated
+    segments with power_end after Tr — the reference's exact convention
+    (TracePhotonBeamRecursive photonbeam.cpp:290-294), used by the compat
+    kernel for image matching.  The walk itself continues from the sampled
+    scatter point either way."""
     P = halton_index.shape[0]
     n_steps = max_depth + 2
     rng = pcg32_init(jnp.asarray(halton_index, jnp.uint32) + jnp.uint32(1))  # photonbeam.cpp:389
@@ -186,13 +201,18 @@ def trace_photon_beams_by_index(
         t_end = jnp.where(scattered, ms.t, t_lim)
         end = o + t_end[:, None] * d
 
+        # beam extent: long beams span to the surface hit (analytic decay);
+        # short beams stop at the sampled scatter point (reference
+        # convention) — see trace_photon_beams_by_index docstring
+        t_beam = t_lim if long_beams else t_end
+        end_beam = h_p if long_beams else end
         # deterministic segment transmittance for the beam's endpoint power
-        tr_seg = _segment_tr(scene, medium, o, d, t_end)
+        tr_seg = _segment_tr(scene, medium, o, d, t_beam)
         in_medium = medium >= 0
         beam_valid = alive & in_medium
         beam = dict(
             start=o,
-            end=end,
+            end=end_beam,
             power_start=beta,
             power_end=beta * tr_seg,
             medium=medium,

@@ -69,10 +69,17 @@ class PhotonBeamConfig:
     rendermedia: bool = True
     kernel: str = "bre"  # "bre" | "compat"
     gather_chunk: int = 2048
-    # gather backend: "brute" = dense rays x all-beams chunks; "lbvh" = one
-    # LBVH traversal per ray tile collecting candidates, then dense tile x
-    # candidate math (the reference's PhotonBeamBVH culling, TPU-shaped)
-    gather: str = "brute"  # "brute" | "lbvh" | "pallas"
+    # gather backend (the reference picks its one traversal automatically,
+    # photonbeambvh.cpp:685; "auto" is the equivalent here):
+    #   "auto"  — fastest legal path: packed fused-Pallas when
+    #             grad_geometry=False, Pallas forward otherwise; XLA dense for
+    #             heterogeneous media / compat kernel (no Pallas node tables).
+    #   "brute" — dense rays x all-beams chunks (XLA custom VJP)
+    #   "lbvh"  — per-tile LBVH candidate collection then dense tile math
+    #             (wins only for LOCALIZED beam populations; measured slower
+    #             than dense in volume-filling fog, BASELINE.md)
+    #   "pallas" — force the Pallas kernels
+    gather: str = "auto"  # "auto" | "brute" | "lbvh" | "pallas"
     tile: int = 128
     max_candidates: int = 4096
     grad_geometry: bool = True  # False: cheaper bwd for medium-param fitting
@@ -118,11 +125,22 @@ def camera_pass_by_pixels(
     """
     R = p_raster_base.shape[0]
     kern = KERNEL_COMPAT if cfg.kernel == "compat" else KERNEL_BRE
-    use_lbvh = cfg.gather == "lbvh" and cfg.rendermedia
+    # Heterogeneous (grid-density) media: the gather evaluates transmittance
+    # and sigma_s from per-segment quadrature node tables (beam_gather
+    # hetero mode) — XLA path only, so packed/LBVH fast paths are bypassed.
+    hetero = scene.media.density.size > 1 and kern == KERNEL_BRE
+    gather = cfg.gather
+    if gather == "auto":
+        # backend choice is a trace-time (static) decision; pick the fastest
+        # path that is exact for this configuration (BASELINE.md measurements:
+        # packed fused-Pallas > pallas fwd + XLA-recompute bwd > dense XLA;
+        # LBVH only wins for localized beam populations and stays opt-in)
+        gather = "brute" if (hetero or kern == KERNEL_COMPAT) else "pallas"
+    use_lbvh = gather == "lbvh" and cfg.rendermedia and not hetero
     # Packed mode (fused-Pallas-backward configs): compact + pack the beam
     # buffer ONCE; every depth step (fwd and bwd) reuses it.
-    use_packed = (cfg.gather == "pallas" and not cfg.grad_geometry
-                  and kern == KERNEL_BRE and cfg.rendermedia)
+    use_packed = (gather == "pallas" and not cfg.grad_geometry
+                  and kern == KERNEL_BRE and cfg.rendermedia and not hetero)
     if use_lbvh:
         bmin, bmax = beam_aabbs(beams, beam_radius)
         bvh = build_lbvh(bmin, bmax, beams.valid)
@@ -223,10 +241,12 @@ def camera_pass_by_pixels(
                         kernel=kern,
                         chunk=cfg.gather_chunk,
                         power_scale=1.0 / float(photons_per_iter),
-                        backend="pallas" if cfg.gather == "pallas" else "xla",
+                        backend=("pallas" if cfg.gather == "pallas"
+                                 and not hetero else "xla"),
                         grad_geometry=cfg.grad_geometry,
                         grad_extras=cfg.grad_extras,
                         assume_compacted=True,
+                        hetero=hetero,
                     )
 
                 def _do_full(_):
@@ -430,6 +450,9 @@ def render_photonbeam(
             # grad_geometry=False callers fit medium params: pair the camera
             # side's stop-gradient geometry with detached photon sampling
             detach_sampling=not cfg.grad_geometry,
+            # normalized BRE needs long beams (analytic decay); compat
+            # reproduces the reference's scatter-truncated segments
+            long_beams=cfg.kernel != "compat",
         )
         Ld, cstats = camera_pass(
             scene, camera, width, height, beams, radius, iter_idx, cfg,

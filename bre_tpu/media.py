@@ -220,13 +220,15 @@ def sample_grid(
     """
     sigma_t = (sigma_a + sigma_s)[..., 0]  # spectrally uniform (grid.h ctor)
     om, dm, dlen, t0, t1, hit_box = _grid_ray_setup(media, o, d, t_max)
+    # per-MEDIUM-unit extinction rate: see tr_grid note (grid.cpp:66-71)
+    sigma_med = jnp.maximum(sigma_t / jnp.maximum(dlen, 1e-30), 1e-30)
     inv_max_density = 1.0 / jnp.maximum(jnp.max(media.density), 1e-30)
 
     def step(carry, _):
         rng, t, live, sampled, t_hit = carry
         rng, u1 = pcg32_next_f32(rng)
         rng, u2 = pcg32_next_f32(rng)
-        t_new = t - jnp.log(1.0 - u1) * inv_max_density / jnp.maximum(sigma_t, 1e-30)
+        t_new = t - jnp.log(1.0 - u1) * inv_max_density / sigma_med
         exited = t_new >= t1
         dens = grid_density(media.density, om + t_new[..., None] * dm)
         accept = dens * inv_max_density > u2
@@ -314,13 +316,19 @@ def tr_grid(
     """
     sigma_t = (sigma_a + sigma_s)[..., 0]
     om, dm, dlen, t0, t1, hit_box = _grid_ray_setup(media, o, d, t_max)
+    # t advances in MEDIUM-space units (dm is normalized); sigma is per WORLD
+    # unit, so the per-medium-unit rate is sigma_t * (world per medium unit)
+    # = sigma_t / dlen (pbrt keeps t in world units instead, grid.cpp:66-71 —
+    # equivalent parameterizations; missing this factor biased every grid
+    # medium whose world_to_medium had scale != 1)
+    sigma_med = jnp.maximum(sigma_t / jnp.maximum(dlen, 1e-30), 1e-30)
     inv_max_density = 1.0 / jnp.maximum(jnp.max(media.density), 1e-30)
     rr_threshold = 0.1
 
     def step(carry, _):
         rng, t, tr, live = carry
         rng, u1 = pcg32_next_f32(rng)
-        t_new = t - jnp.log(1.0 - u1) * inv_max_density / jnp.maximum(sigma_t, 1e-30)
+        t_new = t - jnp.log(1.0 - u1) * inv_max_density / sigma_med
         exited = t_new >= t1
         dens = grid_density(media.density, om + t_new[..., None] * dm)
         factor = 1.0 - jnp.maximum(0.0, dens * inv_max_density)

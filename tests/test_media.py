@@ -157,3 +157,37 @@ def test_grid_sample_scatter_probability():
     tau = _optical_depth_quadrature(med, [0.5, 0.5, -1.0], [0, 0, 1], 1.0, 2.0, 1.0)
     np.testing.assert_allclose(p_scatter, 1.0 - np.exp(-tau), atol=0.01)
     assert int(ovf) == 0
+
+
+def test_grid_scatter_probability_scaled_transform():
+    """Regression: world_to_medium with scale != 1 must not change the
+    physics.  Round-1 bug: delta/ratio tracking advanced t in MEDIUM units
+    against a per-WORLD-unit sigma_t (pbrt keeps t in world units,
+    grid.cpp:66-71), biasing every scaled grid medium by the scale factor."""
+    dens = np.ones((4, 4, 4), np.float32)
+    b = SceneBuilder()
+    # world [-1,1]^3 -> medium [0,1]^3 (scale 0.5)
+    w2m = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                    [0, 0, 0.5, 0.5], [0, 0, 0, 1]], np.float32)
+    b.grid_medium(dens, w2m, sigma_a=(0.05,) * 3, sigma_s=(0.5,) * 3)
+    b.sphere((0, 0, 0), 4.0)
+    med = b.build().media
+    N = 60000
+    o = jnp.tile(jnp.array([[-1.0, 0.0, 0.0]]), (N, 1))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    rng = pcg32_init(jnp.arange(N, dtype=jnp.uint32))
+    rng, ms, ovf = media.sample_medium(
+        med, jnp.zeros((N,), jnp.int32), o, d, jnp.full((N,), 2.0), rng)
+    p_scatter = float(np.asarray(ms.sampled).mean())
+    # WORLD-space optical depth along the chord (incl. boundary ramps)
+    ts = np.linspace(0.0, 2.0, 4096)
+    pw = np.array([-1.0, 0, 0])[None, :] + ts[:, None] * np.array([1.0, 0, 0])
+    pm = np.asarray(tfm.apply_point(jnp.asarray(w2m), jnp.asarray(pw, jnp.float32)))
+    dd = np.asarray(media.grid_density(med.density, jnp.asarray(pm)))
+    tau = 0.55 * np.trapezoid(dd, ts)
+    np.testing.assert_allclose(p_scatter, 1.0 - np.exp(-tau), atol=0.01)
+    # deterministic ratio-tracked Tr agrees too
+    rng, tr, ovf2 = media.transmittance(
+        med, jnp.zeros((N,), jnp.int32), o, d, jnp.full((N,), 2.0), rng)
+    np.testing.assert_allclose(
+        float(np.asarray(tr).mean()), np.exp(-tau), atol=0.01)

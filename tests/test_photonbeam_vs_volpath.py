@@ -1,15 +1,46 @@
 """Cross-validation: the physically-normalized Beam Radiance Estimate must
 converge to the volpath oracle (the reference's own ground-truth integrator,
-SURVEY section 4 gap: the fork shipped no such test)."""
+SURVEY section 4 gap: the fork shipped no such test).  Tolerances follow the
+reference's analytic harness spirit (analytic_scenes.cpp:52-64 asserts
++-0.02 on the image average); the BRE carries kernel-blur bias, so the bound
+here is +-10% on the mean plus per-region structure checks (VERDICT round-1
+item 9)."""
 
 import numpy as np
+import pytest
 
 from bre_tpu.core import transform as tfm
 from bre_tpu.integrators.photonbeam import PhotonBeamConfig, render_photonbeam
 from bre_tpu.integrators.volpath import VolPathConfig, render_volpath
+from bre_tpu.scene.builder import SceneBuilder
 from bre_tpu.scene.camera import make_perspective_camera
 
 from test_photonbeam import fog_cube_scene
+
+
+def _check(est, truth, mean_tol, region_tol, n_region=3):
+    t = np.asarray(truth)
+    e = np.asarray(est)
+    ratio = e.mean() / t.mean()
+    assert 1 - mean_tol < ratio < 1 + mean_tol, (
+        f"mean ratio {ratio}: BRE {e.mean()} vs volpath {t.mean()}")
+    # per-region means (n x n blocks) agree within region_tol where the
+    # region carries signal
+    wh = t.shape[0]
+    blk = wh // n_region
+    tr_ = t[: n_region * blk, : n_region * blk].reshape(
+        n_region, blk, n_region, blk, 3).mean((1, 3, 4))
+    er_ = e[: n_region * blk, : n_region * blk].reshape(
+        n_region, blk, n_region, blk, 3).mean((1, 3, 4))
+    sig = tr_ > 0.1 * t.mean()
+    rr = er_[sig] / tr_[sig]
+    assert (np.abs(rr - 1.0) < region_tol).all(), f"region ratios {rr}"
+    # spatial structure agrees: correlation of downsampled images
+    k = wh // 8
+    td = t[: 8 * k, : 8 * k].reshape(8, k, 8, k, 3).mean((1, 3, 4)).ravel()
+    ed = e[: 8 * k, : 8 * k].reshape(8, k, 8, k, 3).mean((1, 3, 4)).ravel()
+    corr = np.corrcoef(td, ed)[0, 1]
+    assert corr > 0.95, f"spatial correlation {corr}"
 
 
 def test_bre_matches_volpath_fog_cube():
@@ -18,29 +49,132 @@ def test_bre_matches_volpath_fog_cube():
     cam = make_perspective_camera(
         tfm.look_at((0, 0, -3.5), (0, 0, 0), (0, 1, 0)), 40.0, wh, wh
     )
-    truth = render_volpath(s, cam, wh, wh, VolPathConfig(maxdepth=8, spp=256))
+    truth = render_volpath(s, cam, wh, wh, VolPathConfig(maxdepth=8, spp=384))
     est, _ = render_photonbeam(
         s,
         cam,
         wh,
         wh,
         PhotonBeamConfig(
-            iterations=8,
+            iterations=24,
             maxdepth=8,
-            photonsperiteration=4000,
-            initialbeamradius=0.2,
-            alpha=0.7,
+            photonsperiteration=12000,
+            initialbeamradius=0.05,
+            alpha=0.5,
             kernel="bre",
             gather_chunk=4096,
         ),
     )
-    t = np.asarray(truth)
-    e = np.asarray(est)
-    # image means agree within kernel-blur bias + MC noise
-    ratio = e.mean() / t.mean()
-    assert 0.8 < ratio < 1.25, f"mean ratio {ratio}: BRE {e.mean()} vs volpath {t.mean()}"
-    # spatial structure agrees: correlation of downsampled images
-    td = t.reshape(8, 3, 8, 3, 3).mean((1, 3, 4)).ravel()
-    ed = e.reshape(8, 3, 8, 3, 3).mean((1, 3, 4)).ravel()
-    corr = np.corrcoef(td, ed)[0, 1]
-    assert corr > 0.9, f"spatial correlation {corr}"
+    _check(est, truth, mean_tol=0.10, region_tol=0.15)
+
+
+def smoke_scene(g=0.4, n=24):
+    """Heterogeneous grid-density puff (BASELINE config 3 shape, test size)."""
+    x, y, z = np.meshgrid(*(np.linspace(-1, 1, n),) * 3, indexing="ij")
+    dens = np.exp(-2.0 * (x**2 + 2 * y**2 + z**2))
+    dens *= 1.0 + 0.5 * np.sin(4 * x) * np.cos(3 * z)
+    dens = np.clip(dens, 0.0, None).astype(np.float32)
+    b = SceneBuilder()
+    w2m = np.array(
+        [[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5], [0, 0, 0.5, 0.5], [0, 0, 0, 1]],
+        np.float32)
+    smoke = b.grid_medium(dens, w2m, sigma_a=(0.05,) * 3, sigma_s=(0.9,) * 3,
+                          g=g)
+    b.box((-1, -1, -1), (1, 1, 1), material=-1, medium_inside=smoke,
+          medium_outside=-1)
+    b.point_light((0.0, 0.6, -0.4), (2.0, 2.0, 2.0), medium=smoke)
+    return b.build()
+
+
+@pytest.mark.slow
+def test_bre_matches_volpath_grid_smoke():
+    """Heterogeneous validation (VERDICT round-1 item 3): grid-density smoke
+    with anisotropic HG g=0.4 — the gather's quadrature-node transmittance /
+    density-scaled sigma_s path must track volpath within +-10% mean."""
+    s = smoke_scene(g=0.4)
+    wh = 20
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.2), (0, 0, 0), (0, 1, 0)), 45.0, wh, wh
+    )
+    truth = render_volpath(s, cam, wh, wh, VolPathConfig(maxdepth=8, spp=384))
+    est, _ = render_photonbeam(
+        s, cam, wh, wh,
+        PhotonBeamConfig(
+            iterations=24,
+            maxdepth=8,
+            photonsperiteration=12000,
+            initialbeamradius=0.05,
+            alpha=0.5,
+            kernel="bre",
+            gather_chunk=4096,
+        ),
+    )
+    _check(est, truth, mean_tol=0.10, region_tol=0.20)
+
+
+def test_hetero_gather_matches_homogeneous_on_uniform_medium():
+    """On a homogeneous scene the quadrature-node path must agree with the
+    exact exponential-interpolation path (tau is linear -> tables exact)."""
+    import jax.numpy as jnp
+
+    from bre_tpu.accel.beam_gather import gather_beams_bruteforce
+    from bre_tpu.integrators.photon_trace import trace_photon_beams
+    from bre_tpu.lights import light_power_distribution
+
+    s = fog_cube_scene(sigma_a=0.08, sigma_s=0.5, g=0.3).build()
+    distr = light_power_distribution(s)
+    beams, _ = trace_photon_beams(
+        s, distr, jnp.uint32(0), 1024, max_depth=4,
+        beam_radius=jnp.float32(0.2))
+    R = 64
+    rs = np.random.RandomState(0)
+    a0 = jnp.asarray(rs.uniform(-0.9, 0.9, (R, 3)), jnp.float32)
+    d = jnp.asarray(rs.normal(size=(R, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tlen = jnp.asarray(rs.uniform(0.3, 1.0, (R,)), jnp.float32)
+    a1 = a0 + tlen[:, None] * d
+    med = jnp.zeros((R,), jnp.int32)
+    sigma_t = 0.08 + 0.5
+    tr = jnp.exp(-sigma_t * tlen)[:, None] * jnp.ones((1, 3))
+    args = (s.media, a0, a1, d, med, tr, jnp.float32(0.15))
+    g0 = gather_beams_bruteforce(beams, *args, hetero=False)
+    g1 = gather_beams_bruteforce(beams, *args, hetero=True)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=2e-2, atol=1e-7)
+
+
+def test_single_scatter_matches_analytic_airlight():
+    """Long-beam estimator vs the closed-form airlight integral on one ray
+    (regression for the round-1 double-extinction bias: scatter-truncated
+    beams combined with analytic power interpolation decayed as
+    e^-2*sigma_t*d).  Jarosz et al. 2011 long-beam convention."""
+    import jax.numpy as jnp
+
+    from bre_tpu.accel.beam_gather import gather_beams_bruteforce
+    from bre_tpu.integrators.photon_trace import trace_photon_beams
+    from bre_tpu.lights import light_power_distribution
+
+    sa, ss = 0.05, 0.4
+    s = fog_cube_scene(sigma_a=sa, sigma_s=ss, g=0.0, intensity=1.0).build()
+    distr = light_power_distribution(s)
+    N = 200000
+    r0 = 0.05
+    beams, _ = trace_photon_beams(s, distr, jnp.uint32(0), N, max_depth=1,
+                                  beam_radius=jnp.float32(r0))
+    a0 = jnp.asarray([[-1.0, 0.5, 0.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    a1 = jnp.asarray([[1.0, 0.5, 0.0]])
+    st = sa + ss
+    tr = jnp.exp(-st * 2.0) * jnp.ones((1, 3))
+    med = jnp.zeros((1,), jnp.int32)
+    g = gather_beams_bruteforce(beams, s.media, a0, a1, d, med, tr,
+                                jnp.float32(r0), chunk=8192,
+                                power_scale=1.0 / N)
+    est = float(np.asarray(g).mean())
+    ts = np.linspace(0, 2, 20001)
+    pts = np.array([-1.0, 0.5, 0.0]) + ts[:, None] * np.array([1.0, 0, 0])
+    dd = np.linalg.norm(pts, axis=1)
+    truth = ss / (4 * np.pi) * np.trapezoid(
+        np.exp(-st * ts) * np.exp(-st * dd) / dd**2, ts)
+    # remaining error is kernel blur at W=2*r0 (second order) + MC noise
+    assert abs(est / truth - 1.0) < 0.12, (est, truth)
