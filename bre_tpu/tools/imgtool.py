@@ -136,12 +136,18 @@ def main(argv=None) -> int:
     a.add_argument("outfile")
     a.add_argument("images", nargs="+")
     s = sub.add_parser("makesky", help="analytic daylight sky map "
-                       "(Preetham; reference imgtool.cpp:87-188)")
+                       "(Hosek-Wilkie; reference imgtool.cpp:87-188)")
     s.add_argument("--outfile", "-o", default="sky.pfm")
     s.add_argument("--resolution", type=int, default=512)
     s.add_argument("--elevation", type=float, default=30.0,
                    help="sun elevation above the horizon, degrees")
     s.add_argument("--turbidity", type=float, default=3.0)
+    s.add_argument("--albedo", type=float, default=0.5,
+                   help="ground albedo in [0,1] (Hosek model only)")
+    s.add_argument("--model", choices=["hosek", "preetham"],
+                   default="hosek",
+                   help="hosek = reference ArHosekSkyModel behavior; "
+                        "preetham = closed-form fallback, no data tables")
     s.add_argument("--layout", choices=["equalarea", "equirect"],
                    default="equalarea")
     args = ap.parse_args(argv)

@@ -91,14 +91,47 @@ def preetham_sky(theta, phi, sun_theta, sun_phi=0.0, turbidity=3.0):
     return rgb.astype(np.float32)
 
 
+def hosek_rgb(theta, phi, sun_theta, turbidity=3.0, albedo=0.5):
+    """Hosek-Wilkie RGB sky+sun radiance for directions (theta from zenith,
+    phi azimuth with the sun at phi = pi/2), matching imgtool makesky's
+    9-wavelength channel averaging (imgtool.cpp:144-180)."""
+    from .hosek import HosekSky
+
+    elevation = np.pi / 2.0 - float(sun_theta)
+    sky = HosekSky(elevation, turbidity, albedo)
+    theta = np.asarray(theta, np.float64)
+    phi = np.asarray(phi, np.float64)
+    v = np.stack([np.cos(phi) * np.sin(theta), np.cos(theta),
+                  np.sin(phi) * np.sin(theta)], -1)
+    sun = np.array([0.0, np.sin(elevation), np.cos(elevation)])
+    gamma = np.arccos(np.clip(v @ sun, -1.0, 1.0))
+    above = np.cos(theta) > 0.0
+    th_c = np.where(above, theta, np.pi / 2.0)
+    lam = ((630.0, 680.0, 710.0), (500.0, 530.0, 560.0),
+           (460.0, 480.0, 490.0))
+    rgb = np.zeros(theta.shape + (3,), np.float32)
+    for c, wls in enumerate(lam):
+        acc = np.zeros_like(th_c)
+        for wl in wls:
+            acc += sky.solar_radiance(th_c, gamma, wl) / 3.0
+        rgb[..., c] = acc
+    rgb[~above] = 0.0
+    return rgb
+
+
 def make_sky_image(resolution=512, elevation_deg=30.0, turbidity=3.0,
-                   layout="equalarea", sun_scale=8.0):
+                   layout="equalarea", sun_scale=8.0, model="hosek",
+                   albedo=0.5):
     """imgtool makesky (imgtool.cpp:87-188): render the sky dome.
 
-    layout 'equalarea': the reference's square equal-area disk over the
-    upper hemisphere; 'equirect': full latitude-longitude map (top half sky)
-    usable directly by the infinite light.  A sun disc (0.5355 deg angular
-    diameter) is splatted with ``sun_scale`` x the peak sky radiance.
+    model 'hosek' (reference behavior): the Hosek-Wilkie full-spectral
+    model with its fitted solar disk (tools/hosek.py, parity-tested against
+    the reference's ArHosekSkyModel.c); 'preetham': the analytic
+    Preetham-Shirley-Smits fallback with a synthetic sun splat.
+
+    layout 'equalarea': square equal-area disk over the upper hemisphere;
+    'equirect': latitude-longitude map (top half sky) usable directly by
+    the ``infinite`` light — the reference tool's own output layout.
     """
     sun_theta = np.deg2rad(90.0 - elevation_deg)
     if layout == "equalarea":
@@ -122,13 +155,20 @@ def make_sky_image(resolution=512, elevation_deg=30.0, turbidity=3.0,
     else:
         raise ValueError(f"unknown layout {layout!r}")
 
-    rgb = preetham_sky(theta, phi, sun_theta, 0.0, turbidity)
-    # sun disc
-    cos_gamma = (np.sin(theta) * np.sin(sun_theta) * np.cos(phi)
-                 + np.cos(theta) * np.cos(sun_theta))
-    sun_disc = cos_gamma > np.cos(np.deg2rad(0.5355 / 2))
-    peak = rgb.max() if rgb.size else 1.0
-    rgb[sun_disc] = sun_scale * peak
+    if model == "hosek":
+        # sun azimuth: hosek_rgb puts the sun at phi = pi/2 (the +z
+        # half-plane, imgtool.cpp:154); the preetham path used phi = 0 —
+        # rotate so both agree on sun-at-phi=0
+        rgb = hosek_rgb(theta, phi + np.pi / 2.0, sun_theta, turbidity,
+                        albedo)
+    else:
+        rgb = preetham_sky(theta, phi, sun_theta, 0.0, turbidity)
+        # synthetic sun disc (the Preetham model has no solar term)
+        cos_gamma = (np.sin(theta) * np.sin(sun_theta) * np.cos(phi)
+                     + np.cos(theta) * np.cos(sun_theta))
+        sun_disc = cos_gamma > np.cos(np.deg2rad(0.5355 / 2))
+        peak = rgb.max() if rgb.size else 1.0
+        rgb[sun_disc] = sun_scale * peak
     rgb[~inside] = 0.0
     return rgb
 
@@ -139,7 +179,9 @@ def cmd_makesky(args) -> int:
     img = make_sky_image(resolution=args.resolution,
                          elevation_deg=args.elevation,
                          turbidity=args.turbidity,
-                         layout=args.layout)
+                         layout=args.layout,
+                         model=getattr(args, "model", "hosek"),
+                         albedo=getattr(args, "albedo", 0.5))
     write_image(args.outfile, img)
     print(f"wrote {args.outfile} ({img.shape[1]}x{img.shape[0]}, "
           f"elevation {args.elevation} deg, turbidity {args.turbidity})")
