@@ -102,7 +102,7 @@ def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
     #   overlap mask (width-inflated; beam_gather._block_overlap_mask) and
     #   blocks with no possibly-in-range pair are skipped — the batched
     #   equivalent of the BVH rejecting a whole subtree.
-    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j, i] > 0))
+    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[0, i] > 0))
     def _compute():
         _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
                      cam_radius, min_sin)
@@ -218,9 +218,10 @@ def pallas_gather_forward(
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-                # full-array SMEM block (TPU lowering requires block dims
-                # == array dims for non-tiled shapes); indexed [j, i] inside
-                pl.BlockSpec((n_chunks, g_tiles), lambda j, i: (0, 0),
+                # one mask ROW per chunk step: a full-array block is
+                # (n_chunks, g_tiles) f32 and overflows the 1 MB SMEM at
+                # BASELINE spec scale (7M beams / 256 -> 27k chunks)
+                pl.BlockSpec((1, g_tiles), lambda j, i: (j, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
