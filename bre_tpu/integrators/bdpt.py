@@ -71,7 +71,7 @@ from ..scene.scene import (
     MAT_MIRROR,
     Scene,
 )
-from .common import segment_transmittance_det
+from .common import segment_transmittance_det, segment_transmittance_walk
 
 # vertex types (bdpt.h VertexType)
 VT_CAMERA = 0
@@ -124,6 +124,10 @@ class BDPTConfig:
     maxdepth: int = 5
     spp: int = 16
     sampler: str = "random"
+    # connection-segment transmittance across null-material medium
+    # boundaries (IntersectTr walk, scene.cpp:63-92); None = resolve from
+    # the scene at render entry (common.default_tr_crossings)
+    tr_crossings: "int | None" = None
 
 
 class VertexB(NamedTuple):
@@ -627,7 +631,7 @@ def _mis_weight(scene, camera, width, height, cam_vs, light_vs, s, t,
 # Connections (bdpt.cpp ConnectBDPT)
 # --------------------------------------------------------------------------
 
-def _g_term(scene, va: VertexB, vb: VertexB):
+def _g_term(scene, va: VertexB, vb: VertexB, tr_crossings: int = 0):
     """G(scene, sampler, v0, v1) (bdpt.cpp:~200-226) incl. visibility+Tr."""
     w = vb.p - va.p
     d2 = jnp.maximum(jnp.sum(w * w, -1), 1e-20)
@@ -641,7 +645,8 @@ def _g_term(scene, va: VertexB, vb: VertexB):
     o = jnp.where(a_surf[:, None], offset_ray_origin(va.p, va.n, wn), va.p)
     t_shadow = dist * (1.0 - 1e-3)
     occluded = intersect_p(scene, o, wn, t_shadow)
-    tr = segment_transmittance_det(scene, va.med, o, wn, t_shadow)
+    tr = segment_transmittance_walk(scene, va.med, o, wn, t_shadow,
+                                    tr_crossings)
     return jnp.where(occluded[:, None], 0.0, g[:, None] * tr)
 
 
@@ -655,7 +660,7 @@ def _vertex_le(scene, v: VertexB, toward_p):
 
 
 def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
-                 sp: PathSampler, pmf):
+                 sp: PathSampler, pmf, tr_crossings: int = 0):
     """One (s,t) strategy for the batch.  Returns (L, splat_raster,
     splat_L, splat_ok) — splat_* used only when t == 1."""
     R = cam_vs[0].p.shape[0]
@@ -682,7 +687,8 @@ def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
                       offset_ray_origin(qs.p, qs.n, wi), qs.p)
         t_shadow = dist * (1.0 - 1e-3)
         occluded = intersect_p(scene, o, wi, t_shadow)
-        tr = segment_transmittance_det(scene, qs.med, o, wi, t_shadow)
+        tr = segment_transmittance_walk(scene, qs.med, o, wi, t_shadow,
+                                        tr_crossings)
         L = qs.beta * f * We * (cos_q / jnp.maximum(pdf, 1e-30))[:, None] * tr
         ok = ok & ~occluded
         L = jnp.where(ok[:, None], L, 0.0)
@@ -710,7 +716,8 @@ def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
                       offset_ray_origin(pt.p, pt.n, ls.wi), pt.p)
         t_shadow = ls.dist * (1.0 - 1e-3)
         occluded = intersect_p(scene, o, ls.wi, t_shadow)
-        tr = segment_transmittance_det(scene, pt.med, o, ls.wi, t_shadow)
+        tr = segment_transmittance_walk(scene, pt.med, o, ls.wi, t_shadow,
+                                        tr_crossings)
         denom = jnp.maximum(ls.pdf * pdf_choice, 1e-30)
         L = pt.beta * f * ls.Li * (cos_p / denom)[:, None] * tr
         ok = ok & ~occluded
@@ -731,7 +738,7 @@ def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
         ok = qs.valid & pt.valid & qs.connectible & pt.connectible
         f_q = _vertex_f(scene, qs, pt.p, MODE_IMPORTANCE)
         f_p = _vertex_f(scene, pt, qs.p)
-        G = _g_term(scene, pt, qs)
+        G = _g_term(scene, pt, qs, tr_crossings)
         L = qs.beta * f_q * f_p * pt.beta * G
         L = jnp.where(ok[:, None], L, 0.0)
 
@@ -753,6 +760,11 @@ def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
 def render_bdpt(scene: Scene, camera: Camera, width: int, height: int,
                 cfg: BDPTConfig = BDPTConfig()):
     """Full BDPT render.  Returns an (H, W, 3) image."""
+    if cfg.tr_crossings is None:
+        from .common import default_tr_crossings
+
+        cfg = dataclasses.replace(cfg,
+                                  tr_crossings=default_tr_crossings(scene))
     R = width * height
     pix = pixel_centers(width, height)
     maxdepth = cfg.maxdepth
@@ -784,7 +796,7 @@ def render_bdpt(scene: Scene, camera: Camera, width: int, height: int,
                     continue  # s<2,t=1 covered by (s=0/1, t>=2) strategies
                 Lst, p_raster, Lsplat, sok = connect_bdpt(
                     scene, camera, width, height, cam_vs, light_vs, s, t,
-                    smp, pmf)
+                    smp, pmf, tr_crossings=cfg.tr_crossings or 0)
                 if t == 1:
                     px = jnp.clip(p_raster[:, 0].astype(jnp.int32), 0, width - 1)
                     py = jnp.clip(p_raster[:, 1].astype(jnp.int32), 0, height - 1)

@@ -32,6 +32,64 @@ def segment_transmittance_det(scene: Scene, med_idx, o, d, t_end):
     return _segment_tr(scene, med_idx, o, d, t_end)
 
 
+def default_tr_crossings(scene: Scene) -> int:
+    """Static bound on medium-boundary crossings a connection segment can
+    make, derived from the (concrete) scene: 0 when no media or no
+    null-material boundary surfaces exist — the single-medium analytic
+    form is then exact — else 2 per medium (enter + exit), capped at 4.
+    Must be called where the scene arrays are concrete (render entry /
+    sharded-builder time), not under a trace."""
+    if scene.n_media == 0:
+        return 0
+    has_boundary = False
+    if scene.n_triangles > 0:
+        has_boundary |= bool((jnp.asarray(scene.triangles.material) < 0).any())
+    if scene.n_spheres > 0:
+        has_boundary |= bool((jnp.asarray(scene.spheres.material) < 0).any())
+    if not has_boundary:
+        return 0
+    return min(2 * scene.n_media, 4)
+
+
+def segment_transmittance_walk(scene: Scene, med_idx, o, d, t_end,
+                               max_crossings: int = 0):
+    """Transmittance along a connection/shadow segment across up to
+    ``max_crossings`` null-material medium boundaries — the deterministic
+    analog of ``Scene::IntersectTr`` (reference scene.cpp:63-92): march the
+    segment, accumulating each medium's Tr over its sub-interval and
+    switching media at boundary-only surface crossings.
+
+    ``max_crossings=0`` degenerates to the endpoint-medium single-segment
+    form (the pre-walk approximation).  Occlusion by real surfaces is NOT
+    handled here (callers use ``intersect_p``); a real hit simply stops the
+    march, and the caller's occlusion mask zeroes the result.
+    """
+    if max_crossings <= 0:
+        return segment_transmittance_det(scene, med_idx, o, d, t_end)
+    from ..scene.intersect import intersect
+
+    R = o.shape[0]
+    tr = jnp.ones((R, 3))
+    o_cur = o
+    med = med_idx
+    remaining = t_end
+
+    for _ in range(max_crossings + 1):
+        h = intersect(scene, o_cur, d)
+        t_hit = jnp.where(h.valid, jnp.minimum(h.t, remaining), remaining)
+        tr = tr * segment_transmittance_det(scene, med, o_cur, d, t_hit)
+        crossing = h.valid & (h.material < 0) & (h.t < remaining)
+        entering = dot(d, h.n) < 0.0
+        med_next = jnp.where(entering, h.medium_inside, h.medium_outside)
+        med = jnp.where(crossing, med_next, med)
+        p_hit = o_cur + h.t[:, None] * d
+        o_cur = jnp.where(
+            crossing[:, None], offset_ray_origin(p_hit, h.n, d), o_cur
+        )
+        remaining = jnp.where(crossing, remaining - t_hit, 0.0)
+    return tr
+
+
 def sample_one_light(
     scene: Scene,
     rng: PCG32State,
@@ -46,6 +104,7 @@ def sample_one_light(
     duv_dx=None,
     duv_dy=None,
     light_distrib=None,
+    tr_crossings: int = 0,
 ):
     """NEE at surface points (BSDF) or medium points (HG phase).
 
@@ -76,12 +135,13 @@ def sample_one_light(
     rng, ub = stream_1d(rng)
     contrib = _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx,
                        is_surface, jnp.stack([ua, ub], -1),
-                       tangent, uv, duv_dx, duv_dy)
+                       tangent, uv, duv_dx, duv_dy,
+                       tr_crossings=tr_crossings)
     return rng, contrib * inv_pick[:, None]
 
 
 def _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx, is_surface, u2,
-             tangent, uv, duv_dx, duv_dy):
+             tangent, uv, duv_dx, duv_dy, tr_crossings: int = 0):
     """EstimateDirect's light-sampling term for one light per lane
     (integrator.cpp:85-160, without the pick-probability factor)."""
     ls = sample_li(scene, light_idx, p, u2)
@@ -102,7 +162,11 @@ def _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx, is_surface, u2,
     )
     t_shadow = ls.dist * (1.0 - 1e-3)
     occluded = intersect_p(scene, o_shadow, ls.wi, t_shadow)
-    tr = segment_transmittance_det(scene, med_idx, o_shadow, ls.wi, t_shadow)
+    # shadow transmittance: IntersectTr-style boundary-crossing walk when
+    # the scene has null-material medium interfaces (scene.cpp:63-92), else
+    # the single-medium analytic form (exact in that case)
+    tr = segment_transmittance_walk(scene, med_idx, o_shadow, ls.wi,
+                                    t_shadow, tr_crossings)
 
     ok = ~occluded & (ls.pdf > 1e-12)
     contrib = f * ls.Li * tr / jnp.where(ok, ls.pdf, 1.0)[:, None]
@@ -122,6 +186,7 @@ def sample_all_lights(
     uv=None,
     duv_dx=None,
     duv_dy=None,
+    tr_crossings: int = 0,
 ):
     """UniformSampleAllLights (integrator.cpp:54-83 strategy "all"): NEE
     against EVERY light and sum (one sample per light).  Static unrolled
@@ -133,5 +198,6 @@ def sample_all_lights(
         rng, ub = stream_1d(rng)
         total = total + _nee_one(
             scene, jnp.full((R,), li, jnp.int32), p, n, wo, mat_idx, med_idx,
-            is_surface, jnp.stack([ua, ub], -1), tangent, uv, duv_dx, duv_dy)
+            is_surface, jnp.stack([ua, ub], -1), tangent, uv, duv_dx, duv_dy,
+            tr_crossings=tr_crossings)
     return rng, total

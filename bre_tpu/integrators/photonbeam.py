@@ -84,6 +84,10 @@ class PhotonBeamConfig:
     max_candidates: int = 4096
     grad_geometry: bool = True  # False: cheaper bwd for medium-param fitting
     grad_extras: bool = True  # False: skip radius/HG-g cotangents in the bwd
+    # shadow-ray transmittance across null-material medium boundaries
+    # (Scene::IntersectTr walk, scene.cpp:63-92); None = resolve from the
+    # scene at render/builder entry (common.default_tr_crossings)
+    tr_crossings: Optional[int] = None
 
 
 def camera_pass(
@@ -323,6 +327,7 @@ def camera_pass_by_pixels(
             rng, nee = sample_one_light(
                 scene, rng, p_seg_end, h.n, -d, h.material, medium,
                 jnp.ones((R,), bool), tangent=h.tangent,
+                tr_crossings=cfg.tr_crossings or 0,
             )
             Ld = Ld + jnp.where(
                 (surf & ~is_boundary)[:, None], beta * nee, 0.0
@@ -422,6 +427,11 @@ def render_photonbeam(
     the explicit form of the reference's startiteration + radius fast-forward
     resume (photonbeam.cpp:354-357).
     """
+    if cfg.tr_crossings is None:
+        from .common import default_tr_crossings
+
+        cfg = dataclasses.replace(cfg,
+                                  tr_crossings=default_tr_crossings(scene))
     n_pixels = width * height
     photons = cfg.photonsperiteration if cfg.photonsperiteration > 0 else n_pixels
     end_iter = cfg.enditeration if cfg.enditeration is not None else cfg.iterations

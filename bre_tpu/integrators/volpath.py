@@ -64,6 +64,11 @@ class VolPathConfig:
     # NEE against every light (UniformSampleAllLights — directlighting's
     # default strategy "all", directlighting.cpp)
     samplealllights: bool = False
+    # shadow-ray transmittance across null-material medium boundaries
+    # (Scene::IntersectTr walk, scene.cpp:63-92).  None = resolve from the
+    # scene at render entry (common.default_tr_crossings): 0 when no
+    # boundary interfaces exist, else 2 per medium capped at 4.
+    tr_crossings: "int | None" = None
 
 
 _BSSRDF_CHAIN_K = 4  # probe-ray intersection-chain capacity (bssrdf.cpp:296-313
@@ -201,12 +206,15 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
     """
     R = o.shape[0]
 
+    k_tr = cfg.tr_crossings or 0
+
     def _nee(rng, p, n, wo, mat_idx, med_idx, is_surface, **kw):
         if cfg.samplealllights:
             return sample_all_lights(scene, rng, p, n, wo, mat_idx, med_idx,
-                                     is_surface, **kw)
+                                     is_surface, tr_crossings=k_tr, **kw)
         return sample_one_light(scene, rng, p, n, wo, mat_idx, med_idx,
-                                is_surface, light_distrib=light_distrib, **kw)
+                                is_surface, light_distrib=light_distrib,
+                                tr_crossings=k_tr, **kw)
     state = dict(
         rng=rng,
         o=o,
@@ -418,6 +426,11 @@ def render_volpath(
     scene: Scene, camera: Camera, width: int, height: int, cfg: VolPathConfig = VolPathConfig()
 ):
     """Render with spp jittered samples per pixel. Returns (H,W,3) image."""
+    if cfg.tr_crossings is None:
+        from .common import default_tr_crossings
+
+        cfg = dataclasses.replace(cfg,
+                                  tr_crossings=default_tr_crossings(scene))
     R = width * height
     pix = pixel_centers(width, height)
 

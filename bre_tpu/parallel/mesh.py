@@ -66,6 +66,13 @@ def sharded_photonbeam_iteration(
     pixels split per chip.  Returns ``f(iter_idx, radius, scene) -> Ld (R,3)``
     (scene passed as an argument so medium parameters stay differentiable).
     """
+    if cfg.tr_crossings is None:
+        import dataclasses
+
+        from ..integrators.common import default_tr_crossings
+
+        cfg = dataclasses.replace(cfg,
+                                  tr_crossings=default_tr_crossings(scene))
     n = mesh.devices.size
     R = width * height
     photons = cfg.photonsperiteration if cfg.photonsperiteration > 0 else R
