@@ -63,6 +63,18 @@ from .scene import (
 BVH_MIN_TRIANGLES = 16384
 
 
+def _tex_graph_depth(tex_list) -> int:
+    """Max nesting depth of the texture DAG (0 = flat table).  Children
+    always precede parents (enforced in _add_tex), so one forward pass
+    suffices."""
+    depth = [0] * len(tex_list)
+    for i, t in enumerate(tex_list):
+        for ch in (t.get("child0", -1), t.get("child1", -1)):
+            if ch is not None and ch >= 0:
+                depth[i] = max(depth[i], depth[ch] + 1)
+    return max(depth, default=0)
+
+
 def _rgb(v) -> np.ndarray:
     a = np.asarray(v, np.float32)
     if a.shape == ():
@@ -237,12 +249,18 @@ class SceneBuilder:
     # --- textures (reference src/textures/*; bre_tpu/textures.py) ---
     def _add_tex(self, ttype, c0=(1, 1, 1), c1=(0, 0, 0), scale=1.0,
                  octaves=6, omega=0.5, img=-1, uv_scale=(1.0, 1.0),
-                 uv_delta=(0.0, 0.0)) -> int:
+                 uv_delta=(0.0, 0.0), tex1=-1, tex2=-1) -> int:
+        # nested texture graphs: children must be registered before parents
+        # (guarantees a DAG; the evaluator recurses to the static depth)
+        for ch in (tex1, tex2):
+            if ch >= len(self._tex):
+                raise ValueError("sub-texture must be registered first")
         self._tex.append(dict(ttype=ttype, c0=_rgb(c0), c1=_rgb(c1),
                               scale=scale, octaves=octaves, omega=omega,
                               img=img,
                               uv_scale=np.asarray(uv_scale, np.float32),
-                              uv_delta=np.asarray(uv_delta, np.float32)))
+                              uv_delta=np.asarray(uv_delta, np.float32),
+                              child0=int(tex1), child1=int(tex2)))
         return len(self._tex) - 1
 
     def tex_imagemap(self, image, scale=(1, 1, 1), uscale=1.0, vscale=1.0,
@@ -261,8 +279,12 @@ class SceneBuilder:
     def tex_constant(self, c) -> int:
         return self._add_tex(TEX_CONSTANT, c)
 
-    def tex_checkerboard(self, c0=(1, 1, 1), c1=(0, 0, 0), scale=1.0) -> int:
-        return self._add_tex(TEX_CHECKERBOARD, c0, c1, scale)
+    def tex_checkerboard(self, c0=(1, 1, 1), c1=(0, 0, 0), scale=1.0,
+                         tex1=-1, tex2=-1) -> int:
+        """3D checker; ``tex1``/``tex2``: optional sub-texture slots for
+        the two cells (pbrt texture-valued tex1/tex2 params)."""
+        return self._add_tex(TEX_CHECKERBOARD, c0, c1, scale,
+                             tex1=tex1, tex2=tex2)
 
     def tex_uv(self) -> int:
         return self._add_tex(TEX_UV)
@@ -283,11 +305,16 @@ class SceneBuilder:
     def tex_dots(self, c0=(1, 1, 1), c1=(0, 0, 0)) -> int:
         return self._add_tex(TEX_DOTS, c0, c1)
 
-    def tex_scale(self, c0, c1) -> int:
-        return self._add_tex(TEX_SCALE, c0, c1)
+    def tex_scale(self, c0=(1, 1, 1), c1=(1, 1, 1), tex1=-1, tex2=-1) -> int:
+        """Product texture (scale.cpp): tex1 * tex2, constants where a
+        sub-texture slot is -1."""
+        return self._add_tex(TEX_SCALE, c0, c1, tex1=tex1, tex2=tex2)
 
-    def tex_mix(self, c0, c1, amount=0.5) -> int:
-        return self._add_tex(TEX_MIX, c0, c1, scale=amount)
+    def tex_mix(self, c0=(0, 0, 0), c1=(1, 1, 1), amount=0.5,
+                tex1=-1, tex2=-1) -> int:
+        """Lerp texture (mix.cpp): (1-amount)*tex1 + amount*tex2."""
+        return self._add_tex(TEX_MIX, c0, c1, scale=amount,
+                             tex1=tex1, tex2=tex2)
 
     # --- media (reference src/media/{homogeneous,grid}.cpp) ---
     def homogeneous_medium(self, sigma_a=(1, 1, 1), sigma_s=(1, 1, 1), g=0.0) -> int:
@@ -918,6 +945,9 @@ class SceneBuilder:
             uv_scale=stack(self._tex, "uv_scale") if self._tex else jnp.zeros((0, 2)),
             uv_delta=stack(self._tex, "uv_delta") if self._tex else jnp.zeros((0, 2)),
             atlas=jnp.asarray(atlas_np),
+            child0=col(self._tex, "child0"),
+            child1=col(self._tex, "child1"),
+            nest=jnp.zeros((_tex_graph_depth(self._tex),)),
         )
         l_atlas_np, l_offs = pack_atlas(self._light_images)
         n_l = len(self._light)

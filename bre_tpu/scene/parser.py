@@ -414,9 +414,31 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                         img,
                         uscale=_f(p, "uscale", 1.0), vscale=_f(p, "vscale", 1.0),
                         udelta=_f(p, "udelta", 0.0), vdelta=_f(p, "vdelta", 0.0))
-            elif tclass == "checkerboard":
-                named_textures[tname] = b.tex_checkerboard(
-                    _p3(p, "tex1", (1, 1, 1)), _p3(p, "tex2", (0, 0, 0)))
+            elif tclass in ("checkerboard", "scale", "mix"):
+                # tex1/tex2 may be texture references ("texture tex1"
+                # "name") or constants — pbrt texture-valued ParamSet items
+                def _tex_arg(key, default):
+                    v = p.get(key)
+                    if isinstance(v, str):
+                        return default, named_textures.get(v.strip('"'), -1)
+                    return _p3(p, key, default), -1
+
+                if tclass == "checkerboard":
+                    c1_, r1 = _tex_arg("tex1", (1, 1, 1))
+                    c2_, r2 = _tex_arg("tex2", (0, 0, 0))
+                    named_textures[tname] = b.tex_checkerboard(
+                        c1_, c2_, tex1=r1, tex2=r2)
+                elif tclass == "scale":
+                    c1_, r1 = _tex_arg("tex1", (1, 1, 1))
+                    c2_, r2 = _tex_arg("tex2", (1, 1, 1))
+                    named_textures[tname] = b.tex_scale(
+                        c1_, c2_, tex1=r1, tex2=r2)
+                else:
+                    c1_, r1 = _tex_arg("tex1", (0, 0, 0))
+                    c2_, r2 = _tex_arg("tex2", (1, 1, 1))
+                    named_textures[tname] = b.tex_mix(
+                        c1_, c2_, amount=_f(p, "amount", 0.5),
+                        tex1=r1, tex2=r2)
             elif tclass == "constant":
                 named_textures[tname] = b.tex_constant(_p3(p, "value", (1, 1, 1)))
             elif tclass == "fbm":

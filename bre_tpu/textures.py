@@ -5,12 +5,15 @@ dots, fbm, wrinkled, marble, windy, uv; 2,051 LoC) and the noise functions in
 src/core/texture.cpp (Noise/FBm/Turbulence, the classic Perlin
 implementation).
 
-TPU-first design: a tagged Textures table evaluated in one masked pass per
+TPU-first design: a tagged Textures table evaluated in masked passes per
 shading batch — ``eval_texture(textures, tex_idx, p, uv)`` returns (R,3)
-colors.  Textures are flat (no nested texture graphs; ``scale``/``mix``
-evaluate their sub-colors from stored constants), which covers the common
-scene configurations; image maps are array-backed with spherical/planar UV.
-Noise is the standard gradient-lattice Perlin, vectorized over the batch.
+colors.  Nested texture graphs (pbrt's texture-valued ParamSet items, e.g.
+scale/mix/checkerboard over imagemaps — src/core/texture.h,
+src/textures/scale.cpp) are supported via ``child0``/``child1`` slot links:
+evaluation recurses to the graph's (static) depth, encoded in the shape of
+the ``nest`` marker field, so flat tables (depth 0) pay exactly one masked
+pass.  Image maps are array-backed with a shared MIPMap atlas.  Noise is
+the standard gradient-lattice Perlin, vectorized over the batch.
 """
 
 from __future__ import annotations
@@ -50,6 +53,13 @@ class Textures(NamedTuple):
     uv_scale: jnp.ndarray  # (Nt,2) (uscale, vscale)
     uv_delta: jnp.ndarray  # (Nt,2) (udelta, vdelta)
     atlas: jnp.ndarray  # (Ha, Wa, 3) packed level rows of all image textures
+    # nested texture graphs (texture-valued tex1/tex2 params): slot indices
+    # of sub-textures, -1 = use the stored constant c0/c1
+    child0: jnp.ndarray = jnp.zeros((0,), jnp.int32)  # (Nt,)
+    child1: jnp.ndarray = jnp.zeros((0,), jnp.int32)  # (Nt,)
+    # static graph depth marker: shape (D,) where D = max nesting depth
+    # (shape-encoded so evaluation stays static under jit; zeros content)
+    nest: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 def empty_textures() -> Textures:
@@ -60,7 +70,8 @@ def empty_textures() -> Textures:
                     octaves=zi, omega=z,
                     img_off=zi, img_w=zi, img_h=zi, n_levels=zi,
                     uv_scale=jnp.zeros((0, 2)), uv_delta=jnp.zeros((0, 2)),
-                    atlas=jnp.zeros((1, 1, 3)))
+                    atlas=jnp.zeros((1, 1, 3)),
+                    child0=zi, child1=zi, nest=jnp.zeros((0,)))
 
 
 def build_pyramid(image: np.ndarray, max_levels: int = MAX_MIP_LEVELS):
@@ -323,61 +334,54 @@ def turbulence(p: jnp.ndarray, omega: jnp.ndarray, max_octaves: int = 6) -> jnp.
 # Evaluation
 # ---------------------------------------------------------------------------
 
-def eval_texture(tex: Textures, tex_idx: jnp.ndarray, p: jnp.ndarray,
-                 uv: jnp.ndarray, duv_dx=None, duv_dy=None) -> jnp.ndarray:
-    """Evaluate texture colors for a shading batch.
-
-    tex_idx: (R,) int32 (-1 -> white); p: (R,3) world position; uv: (R,2).
-    duv_dx/duv_dy: optional (R,2) ray-differential uv footprints — image
-    maps then use anisotropic EWA filtering instead of point bilinear.
-    Returns (R,3).
-    """
-    R = tex_idx.shape[0]
-    if tex.ttype.shape[0] == 0:
-        return jnp.ones((R, 3))
-    ti = jnp.clip(tex_idx, 0, tex.ttype.shape[0] - 1)
-    tt = tex.ttype[ti]
+def _eval_one_level(tex: Textures, ti, tt, p: jnp.ndarray,
+                    uv: jnp.ndarray, v0, v1, duv_dx=None,
+                    duv_dy=None) -> jnp.ndarray:
+    """One masked evaluation pass given the two sub-values ``v0``/``v1``
+    (child-texture colors, or the stored constants at the recursion base).
+    ``ti``: (R,) clipped slot indices; ``tt``: (R,) texture types."""
+    R = ti.shape[0]
     c0 = tex.c0[ti]
     c1 = tex.c1[ti]
     s = tex.scale[ti]
     om = tex.omega[ti]
     ps = p * s[:, None]
 
-    out = c0  # constant
+    out = v0  # constant
     # checkerboard: parity of floor cell (checkerboard.cpp Evaluate)
     cell = jnp.floor(ps).astype(jnp.int32)
     par = (cell[:, 0] + cell[:, 1] + cell[:, 2]) & 1
     out = jnp.where((tt == TEX_CHECKERBOARD)[:, None],
-                    jnp.where((par == 0)[:, None], c0, c1), out)
+                    jnp.where((par == 0)[:, None], v0, v1), out)
     # uv debug texture (uv.cpp)
     uv_col = jnp.stack([uv[:, 0] % 1.0, uv[:, 1] % 1.0, jnp.zeros((R,))], -1)
     out = jnp.where((tt == TEX_UV)[:, None], uv_col, out)
-    # fbm / wrinkled
-    f = fbm(ps, om)[:, None]
-    out = jnp.where((tt == TEX_FBM)[:, None], c0 * (0.5 + 0.5 * f), out)
+    # fbm / wrinkled / marble / windy share ONE base fbm evaluation
+    # (identical (ps, om) args; traced once to keep the graph small)
+    f_base = fbm(ps, om)
+    f = f_base[:, None]
+    out = jnp.where((tt == TEX_FBM)[:, None], v0 * (0.5 + 0.5 * f), out)
     t_ = turbulence(ps, om)[:, None]
-    out = jnp.where((tt == TEX_WRINKLED)[:, None], c0 * t_, out)
-    # marble (marble.cpp: sin warp of fbm)
-    m = jnp.sin(ps[:, 1] + 4.0 * fbm(ps, om))[:, None] * 0.5 + 0.5
+    out = jnp.where((tt == TEX_WRINKLED)[:, None], v0 * t_, out)
+    # marble (marble.cpp: sin warp of fbm; fixed color ramp)
+    m = jnp.sin(ps[:, 1] + 4.0 * f_base)[:, None] * 0.5 + 0.5
     out = jnp.where((tt == TEX_MARBLE)[:, None], c0 * m + c1 * (1.0 - m), out)
     # windy: product of two fbm scales (windy.cpp)
     wstrength = jnp.abs(fbm(ps * 0.1, om))
-    wheight = jnp.abs(fbm(ps, om))
+    wheight = jnp.abs(f_base)
     out = jnp.where((tt == TEX_WINDY)[:, None],
-                    c0 * (wstrength * wheight)[:, None], out)
+                    v0 * (wstrength * wheight)[:, None], out)
     # polka dots (dots.cpp): noise-jittered cells
     cell_f = jnp.floor(uv + 0.5)
-    dotc = jnp.concatenate([cell_f, jnp.zeros((R, 1))], -1)
     rad = 0.35
-    ctr = cell_f + 0.5 * noise(dotc * 10.0)[:, None] * 0.0  # jitter simplified
     dd = uv - cell_f
     inside = (jnp.sum(dd * dd, -1) < rad * rad)
     out = jnp.where((tt == TEX_DOTS)[:, None],
-                    jnp.where(inside[:, None], c0, c1), out)
-    # scale / mix over constants
-    out = jnp.where((tt == TEX_SCALE)[:, None], c0 * c1, out)
+                    jnp.where(inside[:, None], v0, v1), out)
+    # scale / mix over sub-values (scale.cpp, mix.cpp)
+    out = jnp.where((tt == TEX_SCALE)[:, None], v0 * v1, out)
     out = jnp.where((tt == TEX_MIX)[:, None],
-                    c0 * (1.0 - s[:, None]) + c1 * s[:, None], out)
+                    v0 * (1.0 - s[:, None]) + v1 * s[:, None], out)
     # image map (imagemap.cpp; MIPMap bilinear at level 0 — render paths
     # without ray differentials; callers with a footprint pass lod to
     # image_lookup directly).  Static guard: atlas is (1,1,3) iff no image
@@ -387,5 +391,48 @@ def eval_texture(tex: Textures, tex_idx: jnp.ndarray, p: jnp.ndarray,
             img_col = image_lookup_ewa(tex, ti, uv, duv_dx, duv_dy)
         else:
             img_col = image_lookup(tex, ti, uv)
-        out = jnp.where((tt == TEX_IMAGE)[:, None], c0 * img_col, out)
+        out = jnp.where((tt == TEX_IMAGE)[:, None], v0 * img_col, out)
+    return out
+
+
+def eval_texture(tex: Textures, tex_idx: jnp.ndarray, p: jnp.ndarray,
+                 uv: jnp.ndarray, duv_dx=None, duv_dy=None) -> jnp.ndarray:
+    """Evaluate texture colors for a shading batch.
+
+    tex_idx: (R,) int32 (-1 -> white); p: (R,3) world position; uv: (R,2).
+    duv_dx/duv_dy: optional (R,2) ray-differential uv footprints — image
+    maps then use anisotropic EWA filtering instead of point bilinear.
+    Returns (R,3).
+
+    Nested graphs evaluate bottom-up to the build-time depth
+    ``tex.nest.shape[0]`` (0 for flat tables: a single masked pass).
+    """
+    R = tex_idx.shape[0]
+    if tex.ttype.shape[0] == 0:
+        return jnp.ones((R, 3))
+    depth = tex.nest.shape[0] if tex.child0.shape[0] else 0
+
+    def value(ti, pp, uvv, dx, dy, level):
+        # Children of both slots are batched into ONE recursive call per
+        # level (lanes double, traces stay linear in depth), so a depth-D
+        # graph costs D+1 traced passes, and a flat table exactly one.
+        tt = tex.ttype[ti]
+        if level > 0:
+            n = ti.shape[0]
+            ch0 = tex.child0[ti]
+            ch1 = tex.child1[ti]
+            both = jnp.concatenate([jnp.maximum(ch0, 0),
+                                    jnp.maximum(ch1, 0)])
+            cat2 = lambda x: (None if x is None
+                              else jnp.concatenate([x, x], 0))
+            v = value(both, cat2(pp), cat2(uvv), cat2(dx), cat2(dy),
+                      level - 1)
+            v0 = jnp.where((ch0 >= 0)[:, None], v[:n], tex.c0[ti])
+            v1 = jnp.where((ch1 >= 0)[:, None], v[n:], tex.c1[ti])
+        else:
+            v0, v1 = tex.c0[ti], tex.c1[ti]
+        return _eval_one_level(tex, ti, tt, pp, uvv, v0, v1, dx, dy)
+
+    ti = jnp.clip(tex_idx, 0, tex.ttype.shape[0] - 1)
+    out = value(ti, p, uv, duv_dx, duv_dy, depth)
     return jnp.where((tex_idx >= 0)[:, None], out, 1.0)
