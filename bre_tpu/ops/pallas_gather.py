@@ -102,7 +102,7 @@ def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
     #   overlap mask (width-inflated; beam_gather._block_overlap_mask) and
     #   blocks with no possibly-in-range pair are skipped — the batched
     #   equivalent of the BVH rejecting a whole subtree.
-    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[0, i] > 0))
+    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j % 8, i] > 0))
     def _compute():
         _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
                      cam_radius, min_sin)
@@ -210,6 +210,11 @@ def pallas_gather_forward(
     interpret = jax.default_backend() != "tpu"
     if block_mask is None:
         block_mask = jnp.ones((n_chunks, n_tiles), jnp.float32)
+    # pad chunk rows to a multiple of 8 for the (8, g_tiles) SMEM block
+    pad_c = (-n_chunks) % 8
+    if pad_c:
+        block_mask = jnp.concatenate(
+            [block_mask, jnp.zeros((pad_c, n_tiles), jnp.float32)], 0)
 
     def run_group(rp, mk):
         g_tiles = rp.shape[0]
@@ -218,10 +223,11 @@ def pallas_gather_forward(
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-                # one mask ROW per chunk step: a full-array block is
-                # (n_chunks, g_tiles) f32 and overflows the 1 MB SMEM at
+                # 8 mask ROWS per chunk step (Mosaic needs the 2nd-to-last
+                # block dim divisible by 8): a full-array block would be
+                # (n_chunks, g_tiles) f32 and overflow the 1 MB SMEM at
                 # BASELINE spec scale (7M beams / 256 -> 27k chunks)
-                pl.BlockSpec((1, g_tiles), lambda j, i: (j, 0),
+                pl.BlockSpec((8, g_tiles), lambda j, i: (j // 8, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -230,7 +230,7 @@ def _bwd_fused_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, ct_ref,
 
     # dead-chunk skip + spatial block skip (see pallas_gather._gather_kernel;
     # skipped blocks have no in-range pair, so both cotangent sets are 0)
-    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[0, i] > 0))
+    @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j % 8, i] > 0))
     def _():
         _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
                         dbeams_ref, drays_ref, i, want_extras)
@@ -257,6 +257,11 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
     interpret = jax.default_backend() != "tpu"
     if block_mask is None:
         block_mask = jnp.ones((n_chunks, n_tiles), jnp.float32)
+    # pad chunk rows to a multiple of 8 for the (8, g_tiles) SMEM block
+    pad_c = (-n_chunks) % 8
+    if pad_c:
+        block_mask = jnp.concatenate(
+            [block_mask, jnp.zeros((pad_c, n_tiles), jnp.float32)], 0)
 
     def run_group(rp, cp, mk):
         g_tiles = rp.shape[0]
@@ -265,9 +270,9 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-                # one mask row per chunk step (full-array SMEM block
+                # 8 mask rows per chunk step (full-array SMEM block
                 # overflows 1 MB at spec scale; see pallas_gather.py)
-                pl.BlockSpec((1, g_tiles), lambda j, i: (j, 0),
+                pl.BlockSpec((8, g_tiles), lambda j, i: (j // 8, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
