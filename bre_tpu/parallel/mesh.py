@@ -114,7 +114,8 @@ def sharded_photonbeam_iteration(
         )
         return Ld
 
-    def run(iter_idx, radius, scene_in=scene):
+    @jax.jit
+    def _run_jit(iter_idx, radius, scene_in):
         photon_ids = (
             jnp.uint32(iter_idx) * jnp.uint32(photons)
             + jnp.arange(photons, dtype=jnp.uint32)
@@ -122,6 +123,12 @@ def sharded_photonbeam_iteration(
         stream_base = jnp.uint32(iter_idx) * jnp.uint32(R_pad)
         Ld = iteration(scene_in, radius, photon_ids, p_raster, stream_base)
         return Ld[:R]
+
+    def run(iter_idx, radius, scene_in=scene):
+        # jit is essential: an unjitted shard_map executes eagerly, op by
+        # op, through the dispatch machinery (measured 440s vs 9s for a
+        # tiny iteration on the CPU mesh)
+        return _run_jit(iter_idx, radius, scene_in)
 
     return run
 

@@ -69,3 +69,25 @@ def test_sharded_train_step_gradients():
     # dims it -> negative gradient on sigma_a reduces loss... (direction check
     # on sigma_s: more scattering increases brightness -> increases loss)
     assert float(np.asarray(grads["sigma_s"]).sum()) > 0
+
+
+TINY_CFG = PhotonBeamConfig(
+    maxdepth=2, photonsperiteration=64, initialbeamradius=0.4,
+    gather_chunk=256, grad_geometry=False,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_path_fast_tier():
+    """Fast-CI tier (not slow-gated): the default suite must exercise the
+    shard_map photon/pixel decomposition on the 8-device mesh every run.
+    Tiny shapes keep the CPU compile in CI-friendly time; the bitwise
+    N-chip == 1-chip invariant runs in the slow tier above."""
+    scene, cam = _setup()
+    distr = light_power_distribution(scene)
+    run8 = sharded_photonbeam_iteration(
+        scene, cam, 8, 8, TINY_CFG, make_mesh(8), distr)
+    Ld = np.asarray(run8(jnp.uint32(0), jnp.float32(0.4)))
+    assert Ld.shape == (64, 3)
+    assert np.isfinite(Ld).all()
+    assert Ld.max() > 0
