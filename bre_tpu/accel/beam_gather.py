@@ -486,7 +486,9 @@ def _gather_bwd_pallas(cfg, res, ct):
     (grad_geometry=False) and PALLAS_BWD_ENABLED; XLA chunk recompute
     otherwise."""
     kernel, chunk, n_chunks, power_scale, min_sin, grad_geom, grad_extras = cfg
-    if grad_geom or kernel != KERNEL_BRE or not PALLAS_BWD_ENABLED:
+    pb_res, _seg_res = res
+    if (grad_geom or kernel != KERNEL_BRE or not PALLAS_BWD_ENABLED
+            or "tau_nodes" in pb_res):  # hetero: XLA recompute backward
         return _gather_bwd(cfg, res, ct)
     from ..ops.pallas_gather import pack_beams, pack_rays
     from ..ops.pallas_gather_bwd import (
@@ -662,7 +664,10 @@ def gather_beams_bruteforce(
         taud_c, dens_c = medium_interval_nodes(media, seg_medium, seg_a0, seg_a1)
         seg["tau_cam_nodes"] = taud_c
         seg["dens_cam_nodes"] = dens_c
-        backend = "xla"  # the Pallas kernels carry no node tables
+        # Pallas forward carries the node tables (NF_HET/NB_HET layouts);
+        # the backward stays on the XLA chunk-recompute VJP, which chains
+        # node-table cotangents back through medium_interval_nodes to the
+        # density grid and sigmas
     cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale),
            float(min_sin_theta), bool(grad_geometry), bool(grad_extras))
     if backend == "pallas" and kernel == KERNEL_BRE:

@@ -138,8 +138,10 @@ def camera_pass_by_pixels(
         # backend choice is a trace-time (static) decision; pick the fastest
         # path that is exact for this configuration (BASELINE.md measurements:
         # packed fused-Pallas > pallas fwd + XLA-recompute bwd > dense XLA;
-        # LBVH only wins for localized beam populations and stays opt-in)
-        gather = "brute" if (hetero or kern == KERNEL_COMPAT) else "pallas"
+        # LBVH only wins for localized beam populations and stays opt-in).
+        # Heterogeneous media ride the Pallas forward with node tables +
+        # XLA recompute backward; only the compat kernel stays dense XLA.
+        gather = "brute" if kern == KERNEL_COMPAT else "pallas"
     use_lbvh = gather == "lbvh" and cfg.rendermedia and not hetero
     # Packed mode (fused-Pallas-backward configs): compact + pack the beam
     # buffer ONCE; every depth step (fwd and bwd) reuses it.
@@ -245,8 +247,7 @@ def camera_pass_by_pixels(
                         kernel=kern,
                         chunk=cfg.gather_chunk,
                         power_scale=1.0 / float(photons_per_iter),
-                        backend=("pallas" if cfg.gather == "pallas"
-                                 and not hetero else "xla"),
+                        backend=("pallas" if gather == "pallas" else "xla"),
                         grad_geometry=cfg.grad_geometry,
                         grad_extras=cfg.grad_extras,
                         assume_compacted=True,

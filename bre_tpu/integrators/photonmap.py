@@ -64,6 +64,9 @@ class PhotonMapConfig:
     spp: int = 4
     max_photons_per_cell: int = 64
     finalgather: bool = False  # reference's gather is commented out; hook kept
+    # shadow-ray Tr across null-material medium boundaries (IntersectTr
+    # walk); None = resolve from the scene at render entry
+    tr_crossings: "int | None" = None
 
 
 class PhotonMaps(NamedTuple):
@@ -235,6 +238,13 @@ def _range_gather(maps: PhotonMaps, pclass: int, x, radius, fn, K: int):
 def render_photonmap(scene: Scene, camera: Camera, width: int, height: int,
                      cfg: PhotonMapConfig = PhotonMapConfig()):
     """Two-pass render. Returns (image (H,W,3), stats)."""
+    if cfg.tr_crossings is None:
+        import dataclasses
+
+        from .common import default_tr_crossings
+
+        cfg = dataclasses.replace(cfg,
+                                  tr_crossings=default_tr_crossings(scene))
     R = width * height
     maps = shoot_photons(scene, cfg)
     pi43 = (4.0 / 3.0) * jnp.pi
@@ -298,7 +308,8 @@ def render_photonmap(scene: Scene, camera: Camera, width: int, height: int,
             L = L + jnp.where(see_le[:, None],
                               beta * area_light_emitted(scene, h.area_light, h.n, -d), 0.0)
             rng, nee = sample_one_light(scene, rng, h_p, h.n, -d, h.material,
-                                        medium, jnp.ones((R,), bool))
+                                        medium, jnp.ones((R,), bool),
+                                        tr_crossings=cfg.tr_crossings or 0)
             L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee, 0.0)
 
             # ---- surface: caustic + indirect photon estimates (pi r^2) ----

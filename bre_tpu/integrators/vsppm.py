@@ -68,6 +68,9 @@ class VSPPMConfig:
     rendersurfaces: bool = True
     rendermedia: bool = True
     max_photons_per_cell: int = 64  # gather cap per cell (overflow counted)
+    # shadow-ray Tr across null-material medium boundaries (IntersectTr
+    # walk); None = resolve from the scene at render entry
+    tr_crossings: "int | None" = None
     kernel: str = "physical"  # "physical" | "compat"
     # "compat" reproduces the reference exactly, including two quirks: medium
     # visible points use the SURFACE pi*r^2 kernel (dimensionally a 2D density
@@ -141,6 +144,7 @@ def _camera_pass(scene: Scene, camera: Camera, width: int, height: int,
         rng, nee_med = sample_one_light(
             scene, rng, p_med, jnp.zeros_like(d), -d,
             jnp.full((R,), -1, jnp.int32), medium, jnp.zeros((R,), bool),
+            tr_crossings=cfg.tr_crossings or 0,
         )
         Ld = Ld + jnp.where(scattered[:, None], beta * nee_med, 0.0)
         _, sigma_s_here, g_here, _, _ = gather_medium(scene.media, medium)
@@ -156,7 +160,8 @@ def _camera_pass(scene: Scene, camera: Camera, width: int, height: int,
         Le = area_light_emitted(scene, h.area_light, h.n, -d)
         Ld = Ld + jnp.where(see_le[:, None], beta * Le, 0.0)
         rng, nee_surf = sample_one_light(
-            scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool)
+            scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
+            tr_crossings=cfg.tr_crossings or 0,
         )
         Ld = Ld + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
 
@@ -437,6 +442,13 @@ def render_vsppm(
     cfg: VSPPMConfig = VSPPMConfig(), write_callback=None,
 ):
     """Full progressive render (vsppm.cpp:187-657). Returns (image, stats)."""
+    if cfg.tr_crossings is None:
+        import dataclasses
+
+        from .common import default_tr_crossings
+
+        cfg = dataclasses.replace(cfg,
+                                  tr_crossings=default_tr_crossings(scene))
     R = width * height
     photons = cfg.photonsperiteration if cfg.photonsperiteration > 0 else R
     light_distr = light_power_distribution(scene)

@@ -60,6 +60,16 @@ BF_RAD = 12
 BF_VALID = 13
 NB = 16  # padded
 
+# heterogeneous-media node tables (beam_gather.medium_interval_nodes):
+# K=8 per-interval optical thicknesses per channel + camera node densities.
+# Extended layouts NF_HET/NB_HET are selected by the packed input shapes.
+HET_K = 8
+RF_TAUC = NF            # 24 rows: channel-major, RF_TAUC + ch*HET_K + k
+RF_DENSC = NF + 24      # 8 rows: camera node densities
+NF_HET = NF + 32        # 50
+BF_TAU = NB             # 24 cols: BF_TAU + ch*HET_K + k
+NB_HET = NB + 24        # 40
+
 
 def _interp_power_k(ps, pe, frac):
     """Exponential endpoint interpolation, where-isolated (see beam_gather)."""
@@ -81,7 +91,7 @@ def _log_decay(ps, pe):
 
 
 def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
-                   chunk):
+                   chunk, hetero=False):
     j = pl.program_id(0)  # beam chunk (outer)
     i = pl.program_id(1)  # ray tile (inner)
 
@@ -105,11 +115,11 @@ def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
     @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j % 8, i] > 0))
     def _compute():
         _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
-                     cam_radius, min_sin)
+                     cam_radius, min_sin, hetero)
 
 
 def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
-                 cam_radius, min_sin):
+                 cam_radius, min_sin, hetero=False):
     r_row = lambda k: rays_ref[0, k : k + 1, :]  # (1,T)
     b_col = lambda k: beams_ref[0, :, k : k + 1]  # (C,1)
 
@@ -173,14 +183,39 @@ def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
     k1 = 0.75 * (1.0 - r2) * inv_width
     w = rho * k1 * inv_sin * in_range
 
+    if hetero:
+        # camera-node density at the gather point: piecewise-linear hats
+        # over the K midpoint nodes (beam_gather._dens_at semantics)
+        x = jnp.clip(frac_c * HET_K, 0.5, HET_K - 0.5) - 0.5  # (C,T)
+        dens_c = jnp.zeros_like(frac_c)
+        for k in range(HET_K):
+            dens_c = dens_c + r_row(RF_DENSC + k) * jnp.clip(
+                1.0 - jnp.abs(x - k), 0.0, 1.0)
+
     rows = []
     for ch in range(3):
-        # p_at * tr_cam fused into ONE exp: ps * exp(t_b*log(pe/ps) + t_c*log(tr))
-        ok, ps_s, lp = _log_decay(b_col(BF_PS + ch), b_col(BF_PE + ch))
-        lt = jnp.log(jnp.maximum(r_row(RF_TR + ch), 1e-30))  # (1,T)
-        pt = ps_s * jnp.exp(t_cl * lp + frac_c * lt)
-        pt = jnp.where(ok, pt, 0.0)
-        contrib = w * pt * r_row(RF_SIGS + ch)  # (C,T)
+        if hetero:
+            # heterogeneous media: beam power decay and camera
+            # transmittance from per-interval optical thicknesses
+            # (beam_gather._tau_at), ONE exp for both:
+            # pt = ps * exp(-tau_beam(frac_b) - tau_cam(frac_c))
+            fb = t_cl * HET_K
+            fc = frac_c * HET_K
+            tau = jnp.zeros_like(t_cl)
+            for k in range(HET_K):
+                tau = tau + b_col(BF_TAU + ch * HET_K + k) * jnp.clip(
+                    fb - k, 0.0, 1.0)
+                tau = tau + r_row(RF_TAUC + ch * HET_K + k) * jnp.clip(
+                    fc - k, 0.0, 1.0)
+            pt = b_col(BF_PS + ch) * jnp.exp(-tau)
+            contrib = w * pt * (r_row(RF_SIGS + ch) * dens_c)  # (C,T)
+        else:
+            # p_at * tr_cam fused into ONE exp: ps * exp(t_b*log(pe/ps) + t_c*log(tr))
+            ok, ps_s, lp = _log_decay(b_col(BF_PS + ch), b_col(BF_PE + ch))
+            lt = jnp.log(jnp.maximum(r_row(RF_TR + ch), 1e-30))  # (1,T)
+            pt = ps_s * jnp.exp(t_cl * lp + frac_c * lt)
+            pt = jnp.where(ok, pt, 0.0)
+            contrib = w * pt * r_row(RF_SIGS + ch)  # (C,T)
         rows.append(jnp.sum(contrib, axis=0, keepdims=True))
     upd = jnp.concatenate(
         rows + [jnp.zeros((5, rows[0].shape[1]), jnp.float32)], 0)  # (8,T)
@@ -207,6 +242,9 @@ def pallas_gather_forward(
     """
     n_tiles = rays_packed.shape[0]
     n_chunks = beams_packed.shape[0]
+    nf = rays_packed.shape[1]  # NF (homogeneous) or NF_HET
+    nb = beams_packed.shape[2]
+    hetero = nf == NF_HET
     interpret = jax.default_backend() != "tpu"
     if block_mask is None:
         block_mask = jnp.ones((n_chunks, n_tiles), jnp.float32)
@@ -219,7 +257,7 @@ def pallas_gather_forward(
     def run_group(rp, mk):
         g_tiles = rp.shape[0]
         return pl.pallas_call(
-            partial(_gather_kernel, chunk=chunk),
+            partial(_gather_kernel, chunk=chunk, hetero=hetero),
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
@@ -229,9 +267,9 @@ def pallas_gather_forward(
                 # BASELINE spec scale (7M beams / 256 -> 27k chunks)
                 pl.BlockSpec((8, g_tiles), lambda j, i: (j // 8, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0),
+                pl.BlockSpec((1, nf, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0),
+                pl.BlockSpec((1, chunk, nb), lambda j, i: (j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((g_tiles, 8, tile), lambda j, i: (0, 0, 0),
@@ -262,8 +300,17 @@ def pack_rays(seg: dict, tile: int) -> jnp.ndarray:
         seg["g"],
         seg["in_med_f"],
     ]
-    packed = jnp.stack(rows, 0)  # (NF, R)
-    return packed.reshape(NF, n_tiles, tile).transpose(1, 0, 2)
+    if "tau_cam_nodes" in seg:  # heterogeneous extension rows
+        taud = seg["tau_cam_nodes"]  # (R, K, 3)
+        for ch in range(3):
+            for k in range(HET_K):
+                rows.append(taud[:, k, ch])
+        dens = seg["dens_cam_nodes"]  # (R, K)
+        for k in range(HET_K):
+            rows.append(dens[:, k])
+    nf = len(rows)
+    packed = jnp.stack(rows, 0)  # (nf, R)
+    return packed.reshape(nf, n_tiles, tile).transpose(1, 0, 2)
 
 
 def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
@@ -280,5 +327,11 @@ def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
         jnp.zeros_like(pb["radius"]),
         jnp.zeros_like(pb["radius"]),
     ]
-    packed = jnp.stack(cols, 1)  # (Bp, NB)
-    return packed.reshape(n_chunks, chunk, NB)
+    if "tau_nodes" in pb:  # heterogeneous extension columns
+        taud = pb["tau_nodes"]  # (Bp, K, 3)
+        for ch in range(3):
+            for k in range(HET_K):
+                cols.append(taud[:, k, ch])
+    nb = len(cols)
+    packed = jnp.stack(cols, 1)  # (Bp, nb)
+    return packed.reshape(n_chunks, chunk, nb)

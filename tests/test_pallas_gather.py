@@ -166,3 +166,69 @@ def test_packed_gather_matches_bruteforce():
     for x, p in zip(gx, gp):
         x, p = np.asarray(x), np.asarray(p)
         assert np.abs(x - p).max() <= 3e-4 * (np.abs(x).max() + 1e-9)
+
+
+def _setup_hetero(B=512, R=128, seed=3):
+    """Grid-density smoke medium for the heterogeneous node-table kernel."""
+    b = SceneBuilder()
+    n = 12
+    x, y, z = np.meshgrid(*(np.linspace(-1, 1, n),) * 3, indexing="ij")
+    dens = np.exp(-1.5 * (x**2 + y**2 + z**2)).astype(np.float32)
+    w2m = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                    [0, 0, 0.5, 0.5], [0, 0, 0, 1]], np.float32)
+    b.grid_medium(dens, w2m, sigma_a=(0.05,) * 3, sigma_s=(0.6,) * 3, g=0.3)
+    b.sphere((0, 0, 0), 5.0)
+    media = b.build().media
+    rs = np.random.RandomState(seed)
+    beams = Beams(
+        start=jnp.asarray(rs.uniform(-1, 1, (B, 3)).astype(np.float32)),
+        end=jnp.asarray(rs.uniform(-1, 1, (B, 3)).astype(np.float32)),
+        power_start=jnp.asarray(rs.uniform(0.5, 2, (B, 3)).astype(np.float32)),
+        power_end=jnp.asarray(rs.uniform(0.05, 0.5, (B, 3)).astype(np.float32)),
+        radius=jnp.full((B,), 0.25),
+        medium=jnp.zeros((B,), jnp.int32),
+        valid=jnp.asarray(rs.rand(B) > 0.2),
+    )
+    a0 = jnp.asarray(rs.uniform(-2, -1, (R, 3)).astype(np.float32))
+    a1 = jnp.asarray(rs.uniform(1, 2, (R, 3)).astype(np.float32))
+    sd = (a1 - a0) / jnp.linalg.norm(a1 - a0, axis=-1, keepdims=True)
+    med = jnp.zeros((R,), jnp.int32)
+    trf = jnp.full((R, 3), 0.4)
+    return beams, media, a0, a1, sd, med, trf
+
+
+def test_pallas_hetero_forward_matches_xla_interpret():
+    """Heterogeneous node-table mode: Pallas kernel (NF_HET/NB_HET layouts)
+    must agree with the XLA hetero path."""
+    beams, media, a0, a1, sd, med, trf = _setup_hetero()
+    kw = dict(kernel=KERNEL_BRE, chunk=256, power_scale=1e-3, hetero=True)
+    x = gather_beams_bruteforce(beams, media, a0, a1, sd, med, trf,
+                                jnp.float32(0.2), **kw, backend="xla")
+    p = gather_beams_bruteforce(beams, media, a0, a1, sd, med, trf,
+                                jnp.float32(0.2), **kw, backend="pallas")
+    x, p = np.asarray(x), np.asarray(p)
+    assert np.isfinite(p).all() and x.max() > 0
+    np.testing.assert_allclose(p, x, rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_hetero_backward_matches_xla():
+    """Hetero gradients flow through the XLA recompute backward regardless
+    of the forward backend — density-grid and power cotangents agree."""
+    beams, media, a0, a1, sd, med, trf = _setup_hetero(B=256, R=64)
+
+    def loss(dens, ps, backend):
+        mm = media._replace(density=dens)
+        bb = beams._replace(power_start=ps)
+        out = gather_beams_bruteforce(
+            bb, mm, a0, a1, sd, med, trf, jnp.float32(0.2),
+            kernel=KERNEL_BRE, chunk=256, power_scale=1e-3, hetero=True,
+            backend=backend, grad_geometry=False,
+        )
+        return jnp.sum(out)
+
+    gx = jax.grad(loss, argnums=(0, 1))(media.density, beams.power_start, "xla")
+    gp = jax.grad(loss, argnums=(0, 1))(media.density, beams.power_start,
+                                        "pallas")
+    assert float(jnp.abs(gx[0]).sum()) > 0  # density grid receives gradient
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), rtol=1e-6)
