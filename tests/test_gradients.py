@@ -138,3 +138,87 @@ def test_homogeneous_tr_grad_through_transmittance_fn():
     sigma_t = float(med.sigma_a[0, 0] + med.sigma_s[0, 0])
     want = -2.0 * np.exp(-sigma_t * 2.0)
     np.testing.assert_allclose(g[0], want, rtol=1e-4)
+
+
+def test_hg_g_gradient_matches_finite_difference():
+    """d(mean image)/d(HG g) by autodiff == central FD (VERDICT round-1
+    item 9: g was untested).  grad_extras=True routes the phase-function
+    cotangent through the gather."""
+    scene = fog_cube_scene(sigma_a=0.08, sigma_s=0.5, g=0.3,
+                           intensity=1.0).build()
+    wh = 12
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.2), (0, 0, 0), (0, 1, 0)), 45.0, wh, wh
+    )
+    cfg = PhotonBeamConfig(
+        maxdepth=3, photonsperiteration=512, initialbeamradius=0.35,
+        gather_chunk=512, grad_geometry=False, grad_extras=True,
+    )
+    distr = light_power_distribution(scene)
+
+    @jax.jit
+    def loss(g):
+        sc = scene._replace(media=scene.media._replace(g=g))
+        beams, _ = trace_photon_beams(
+            sc, distr, jnp.uint32(0), cfg.photonsperiteration, cfg.maxdepth,
+            jnp.float32(cfg.initialbeamradius), detach_sampling=True,
+        )
+        Ld, _ = camera_pass(
+            sc, cam, wh, wh, beams, jnp.float32(cfg.initialbeamradius),
+            jnp.uint32(0), cfg, cfg.photonsperiteration,
+        )
+        return jnp.mean(Ld)
+
+    g0 = scene.media.g
+    ad = float(np.asarray(jax.grad(loss)(g0))[0])
+    assert np.isfinite(ad)
+    eps = 2e-3
+    dg = jnp.zeros_like(g0).at[0].set(eps)
+    fd = (float(loss(g0 + dg)) - float(loss(g0 - dg))) / (2 * eps)
+    assert abs(fd - ad) <= 0.15 * max(abs(fd), abs(ad)) + 2e-4, (
+        f"fd={fd} ad={ad}")
+
+
+def test_density_grid_gradient_matches_finite_difference():
+    """d(mean image)/d(density scale) through the heterogeneous path:
+    quadrature-node transmittance + density-scaled sigma_s at the gather
+    (VERDICT round-1 item 9: density grid was untested)."""
+    from test_photonbeam_vs_volpath import smoke_scene
+
+    scene = smoke_scene(g=0.0, n=12)
+    wh = 10
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.2), (0, 0, 0), (0, 1, 0)), 45.0, wh, wh
+    )
+    cfg = PhotonBeamConfig(
+        maxdepth=3, photonsperiteration=512, initialbeamradius=0.35,
+        gather_chunk=512, grad_geometry=False, grad_extras=False,
+    )
+    distr = light_power_distribution(scene)
+
+    @jax.jit
+    def loss(dens):
+        sc = scene._replace(media=scene.media._replace(density=dens))
+        beams, _ = trace_photon_beams(
+            sc, distr, jnp.uint32(0), cfg.photonsperiteration, cfg.maxdepth,
+            jnp.float32(cfg.initialbeamradius), detach_sampling=True,
+        )
+        Ld, _ = camera_pass(
+            sc, cam, wh, wh, beams, jnp.float32(cfg.initialbeamradius),
+            jnp.uint32(0), cfg, cfg.photonsperiteration,
+        )
+        return jnp.mean(Ld)
+
+    d0 = scene.media.density
+    g_dens = np.asarray(jax.grad(loss)(d0))
+    assert np.isfinite(g_dens).all()
+    assert np.abs(g_dens).sum() > 0  # grid receives gradient
+
+    # scalar FD on a uniform density scale: sum(grad * d0) == d loss/d s
+    ad_scale = float((g_dens * np.asarray(d0)).sum())
+    eps = 1e-3
+    fd_scale = (float(loss(d0 * (1 + eps))) - float(loss(d0 * (1 - eps)))) / (
+        2 * eps)
+    assert abs(fd_scale - ad_scale) <= 0.15 * max(
+        abs(fd_scale), abs(ad_scale)) + 2e-4, (
+        f"fd={fd_scale} ad={ad_scale}")
