@@ -178,3 +178,48 @@ def test_single_scatter_matches_analytic_airlight():
         np.exp(-st * ts) * np.exp(-st * dd) / dd**2, ts)
     # remaining error is kernel blur at W=2*r0 (second order) + MC noise
     assert abs(est / truth - 1.0) < 0.12, (est, truth)
+
+
+def glass_caustic_scene():
+    """Glass sphere in fog with two point lights (BASELINE config 4 shape,
+    test size): specular photon paths refract through the sphere and deposit
+    caustic beams in the surrounding medium."""
+    b = SceneBuilder()
+    fog = b.homogeneous_medium((0.02,) * 3, (0.35,) * 3, 0.0)
+    b.box((-2, -2, -2), (2, 2, 2), material=-1, medium_inside=fog,
+          medium_outside=-1)
+    glass = b.glass(eta=1.5)
+    b.sphere((0, 0, 0), 0.6, material=glass, medium_outside=fog)
+    wall = b.matte((0.6, 0.55, 0.5))
+    b.quad((-5, -5, 3.5), (-5, 5, 3.5), (5, 5, 3.5), (5, -5, 3.5),
+           material=wall)
+    b.point_light((1.5, 1.5, -1.5), (3.0, 2.8, 2.5), medium=fog)
+    b.point_light((-1.5, 1.0, -1.0), (1.0, 1.2, 1.8), medium=fog)
+    return b.build()
+
+
+@pytest.mark.slow
+def test_bre_matches_volpath_glass_caustics():
+    """Caustic-beam validation (VERDICT round-1 item 1, config 4): specular
+    photon transport through the glass sphere must converge to volpath —
+    exercises Sample_Le -> refract -> medium beam deposit and the camera
+    path's specular continuation."""
+    s = glass_caustic_scene()
+    wh = 20
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0.4, -4.5), (0, 0, 0), (0, 1, 0)), 42.0, wh, wh
+    )
+    truth = render_volpath(s, cam, wh, wh, VolPathConfig(maxdepth=8, spp=512))
+    est, _ = render_photonbeam(
+        s, cam, wh, wh,
+        PhotonBeamConfig(
+            iterations=24,
+            maxdepth=8,
+            photonsperiteration=12000,
+            initialbeamradius=0.07,
+            alpha=0.5,
+            kernel="bre",
+            gather_chunk=4096,
+        ),
+    )
+    _check(est, truth, mean_tol=0.10, region_tol=0.25)
