@@ -719,9 +719,13 @@ def _inverse_permutation(order):
     return jax.lax.stop_gradient(jnp.argsort(order))
 
 
-def pack_beams_compact(beams, chunk: int):
+def pack_beams_compact(beams, chunk: int, tau_nodes=None):
     """Validity-compact and pack a Beams SoA into the Pallas chunk layout.
     Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar).
+
+    ``tau_nodes`` (B, K, 3): heterogeneous per-beam optical-thickness node
+    tables (medium_interval_nodes) — appended as NB_HET-NB extra columns,
+    permuted/padded with the same single row gather.
 
     The fields are stacked into ONE (B, NB) matrix *before* the compaction
     permute, so the whole compaction is a single row gather (and its backward
@@ -769,11 +773,18 @@ def pack_beams_compact(beams, chunk: int):
         zeros,
         zeros,
     ]
-    mat = jnp.stack(cols, 1)  # (B, NB) — same column layout as pack_beams
+    if tau_nodes is not None:
+        from ..ops.pallas_gather import HET_K
+
+        for ch in range(3):
+            for k in range(HET_K):
+                cols.append(tau_nodes[:, k, ch])
+    mat = jnp.stack(cols, 1)  # (B, nb) — same column layout as pack_beams
+    nb = mat.shape[1]
     mat = permute_rows(mat, order, inv_order)
     if Bp != B:
-        mat = jnp.concatenate([mat, jnp.zeros((Bp - B, NB))], 0)
-    return mat.reshape(n_chunks, chunk, NB), jnp.sum(valid_f)
+        mat = jnp.concatenate([mat, jnp.zeros((Bp - B, nb))], 0)
+    return mat.reshape(n_chunks, chunk, nb), jnp.sum(valid_f)
 
 
 def _block_overlap_mask(beams_packed, seg_a0, seg_a1, tile, cam_radius):
@@ -842,7 +853,68 @@ def _packed_fwd(cfg, beams_packed, rays_packed, scal):
         beams_packed, rays_packed, scal)
 
 
+def _unpack_packed_hetero(beams_packed, rays_packed):
+    """Packed hetero tensors -> the dict form the XLA core consumes.
+    Pure slices/reshapes: jax.vjp chains cotangents back to the packed
+    layout automatically."""
+    from ..ops.pallas_gather import (
+        BF_TAU, HET_K, RF_A0, RF_A1, RF_DENSC, RF_DIR, RF_G, RF_INMED,
+        RF_LEN, RF_SIGS, RF_TAUC, RF_TR)
+
+    nch, C, nb = beams_packed.shape
+    flat = beams_packed.reshape(nch * C, nb)
+    pb = dict(
+        start=flat[:, 0:3], end=flat[:, 3:6],
+        power_start=flat[:, 6:9], power_end=flat[:, 9:12],
+        radius=flat[:, 12], valid_f=flat[:, 13],
+        tau_nodes=flat[:, BF_TAU:BF_TAU + 3 * HET_K]
+        .reshape(-1, 3, HET_K).transpose(0, 2, 1),
+    )
+    n_tiles, nf, T = rays_packed.shape
+    rflat = rays_packed.transpose(1, 0, 2).reshape(nf, n_tiles * T)
+    seg = dict(
+        a0=rflat[RF_A0:RF_A0 + 3].T, a1=rflat[RF_A1:RF_A1 + 3].T,
+        dir=rflat[RF_DIR:RF_DIR + 3].T, len=rflat[RF_LEN],
+        tr_full=rflat[RF_TR:RF_TR + 3].T,
+        # sigma_s rows arrive folded with power_scale*in_med: the core is
+        # invoked with power_scale=1 and in_med_f=1 so folds apply once
+        sigma_s=rflat[RF_SIGS:RF_SIGS + 3].T,
+        g=rflat[RF_G],
+        in_med_f=jnp.ones_like(rflat[RF_INMED]),
+        tau_cam_nodes=rflat[RF_TAUC:RF_TAUC + 3 * HET_K]
+        .reshape(3, HET_K, -1).transpose(2, 1, 0),
+        dens_cam_nodes=rflat[RF_DENSC:RF_DENSC + HET_K].T,
+    )
+    return pb, seg
+
+
+def _packed_bwd_hetero(cfg, res, ct):
+    """Heterogeneous packed backward: unpack to dicts and differentiate
+    through the XLA chunk-recompute core (bounded memory); the fused Pallas
+    backward kernel carries no node tables.  cam_radius cotangent is
+    dropped (progressive schedule, not optimized — grad_extras semantics)."""
+    chunk, tile, power_scale, min_sin, grad_extras = cfg
+    beams_packed, rays_packed, scal = res
+    n_chunks = beams_packed.shape[0]
+    core_cfg = (KERNEL_BRE, int(chunk), int(n_chunks), 1.0, float(min_sin),
+                False, bool(grad_extras))
+
+    def f(bp, rp):
+        pb, seg = _unpack_packed_hetero(bp, rp)
+        seg["cam_radius"] = jnp.asarray(scal["cam_radius"], jnp.float32)
+        seg["n_valid_beams"] = jnp.asarray(scal["n_valid"], jnp.float32)
+        return _gather_core(core_cfg, pb, seg)
+
+    _, vjp = jax.vjp(f, beams_packed, rays_packed)
+    d_beams, d_rays = vjp(ct)
+    d_scal = dict(cam_radius=jnp.zeros(()), n_valid=jnp.zeros(()))
+    if "block_mask" in scal:
+        d_scal["block_mask"] = jnp.zeros_like(scal["block_mask"])
+    return d_beams, d_rays, d_scal
+
+
 def _packed_bwd(cfg, res, ct):
+    from ..ops.pallas_gather import NB as _NB
     from ..ops.pallas_gather import RF_G, RF_SIGS, RF_TR
     from ..ops.pallas_gather_bwd import (
         DR_CAMR,
@@ -854,6 +926,8 @@ def _packed_bwd(cfg, res, ct):
 
     chunk, tile, power_scale, min_sin, grad_extras = cfg
     beams_packed, rays_packed, scal = res
+    if beams_packed.shape[2] > _NB:  # hetero: XLA recompute backward
+        return _packed_bwd_hetero(cfg, res, ct)
     n_tiles = rays_packed.shape[0]
     ct_packed = jnp.concatenate(
         [ct.reshape(n_tiles, tile, 3).transpose(0, 2, 1),
@@ -904,7 +978,10 @@ def gather_beams_packed(
     R-sized); the beam buffer is reused across all depth steps."""
     from ..ops.pallas_gather import pack_rays
 
+    from ..ops.pallas_gather import NB as _NB
+
     R = seg_a0.shape[0]
+    hetero = beams_packed.shape[2] > _NB
     _, sigma_s_seg, g_seg, _, seg_in_med = gather_medium(media, seg_medium)
     sgg = jax.lax.stop_gradient
     in_med_f = seg_in_med.astype(jnp.float32)
@@ -920,6 +997,14 @@ def gather_beams_packed(
         g=g_seg,
         in_med_f=in_med_f,
     )
+    if hetero:
+        # camera-side quadrature node tables (geometry detached, medium
+        # parameters attached) — the beam-side tables were packed once per
+        # camera pass by pack_beams_compact
+        taud_c, dens_c = medium_interval_nodes(
+            media, seg_medium, sgg(seg_a0), sgg(seg_a1))
+        seg["tau_cam_nodes"] = taud_c
+        seg["dens_cam_nodes"] = dens_c
     tile = _pallas_tile(min(chunk, 256), heavy=grad_extras)
     # Small compacted-ray budgets (photonbeam's post-bounce tiers) must not
     # pad to the full 2048 tile — a 102-ray step would sweep 95% dead lanes

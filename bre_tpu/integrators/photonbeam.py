@@ -143,15 +143,25 @@ def camera_pass_by_pixels(
         # XLA recompute backward; only the compat kernel stays dense XLA.
         gather = "brute" if kern == KERNEL_COMPAT else "pallas"
     use_lbvh = gather == "lbvh" and cfg.rendermedia and not hetero
-    # Packed mode (fused-Pallas-backward configs): compact + pack the beam
-    # buffer ONCE; every depth step (fwd and bwd) reuses it.
+    # Packed mode (fused-Pallas-backward configs; hetero rides the Pallas
+    # forward + XLA recompute backward): compact + pack the beam buffer
+    # ONCE; every depth step reuses it.  For hetero this also hoists the
+    # per-beam quadrature node tables (B x K grid_density evaluations) out
+    # of the per-depth-step path.
     use_packed = (gather == "pallas" and not cfg.grad_geometry
-                  and kern == KERNEL_BRE and cfg.rendermedia and not hetero)
+                  and kern == KERNEL_BRE and cfg.rendermedia)
     if use_lbvh:
         bmin, bmax = beam_aabbs(beams, beam_radius)
         bvh = build_lbvh(bmin, bmax, beams.valid)
     elif use_packed:
-        beams_packed, n_valid_beams = pack_beams_compact(beams, cfg.gather_chunk)
+        tau_b = None
+        if hetero:
+            from ..accel.beam_gather import medium_interval_nodes
+
+            tau_b, _ = medium_interval_nodes(
+                scene.media, beams.medium, beams.start, beams.end)
+        beams_packed, n_valid_beams = pack_beams_compact(
+            beams, cfg.gather_chunk, tau_nodes=tau_b)
     elif cfg.rendermedia:
         # one validity sort serves every depth step's gather (compact_beams)
         beams = compact_beams(beams)

@@ -232,3 +232,51 @@ def test_pallas_hetero_backward_matches_xla():
     assert float(jnp.abs(gx[0]).sum()) > 0  # density grid receives gradient
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), rtol=1e-6)
+
+
+def test_packed_hetero_matches_brute():
+    """Packed hetero mode (pack-once node tables, NB_HET layout) must match
+    the per-step brute hetero path — forward and gradients (the packed
+    backward unpacks and differentiates through the XLA recompute core)."""
+    from bre_tpu.accel.beam_gather import (
+        gather_beams_packed,
+        medium_interval_nodes,
+        pack_beams_compact,
+    )
+
+    beams, media, a0, a1, sd, med, trf = _setup_hetero(B=512, R=256)
+
+    def packed(ps, dens):
+        mm = media._replace(density=dens)
+        bb = beams._replace(power_start=ps)
+        tau_b, _ = medium_interval_nodes(mm, bb.medium, bb.start, bb.end)
+        bp, n_valid = pack_beams_compact(bb, 256, tau_nodes=tau_b)
+        out = gather_beams_packed(bp, n_valid, mm, a0, a1, sd, med, trf,
+                                  jnp.float32(0.2), chunk=256,
+                                  power_scale=1e-3, grad_extras=False)
+        return out
+
+    def brute(ps, dens):
+        mm = media._replace(density=dens)
+        bb = beams._replace(power_start=ps)
+        return gather_beams_bruteforce(
+            bb, mm, a0, a1, sd, med, trf, jnp.float32(0.2),
+            kernel=KERNEL_BRE, chunk=256, power_scale=1e-3, hetero=True,
+            backend="xla", grad_geometry=False, grad_extras=False)
+
+    fp = np.asarray(packed(beams.power_start, media.density))
+    fb = np.asarray(brute(beams.power_start, media.density))
+    assert fb.max() > 0
+    # packed mode sums beams in Morton order, brute in storage order:
+    # float accumulation order differs
+    np.testing.assert_allclose(fp, fb, rtol=2e-3, atol=1e-8)
+
+    gp = jax.grad(lambda ps, d: jnp.sum(packed(ps, d)), argnums=(0, 1))(
+        beams.power_start, media.density)
+    gb = jax.grad(lambda ps, d: jnp.sum(brute(ps, d)), argnums=(0, 1))(
+        beams.power_start, media.density)
+    assert float(jnp.abs(gb[1]).sum()) > 0
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gb[0]),
+                               rtol=2e-3, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gb[1]),
+                               rtol=2e-3, atol=1e-9)
