@@ -874,7 +874,11 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
     rflat = rays_packed.transpose(1, 0, 2).reshape(nf, n_tiles * T)
     seg = dict(
         a0=rflat[RF_A0:RF_A0 + 3].T, a1=rflat[RF_A1:RF_A1 + 3].T,
-        dir=rflat[RF_DIR:RF_DIR + 3].T, len=rflat[RF_LEN],
+        dir=rflat[RF_DIR:RF_DIR + 3].T,
+        # padded ray rows carry len == 0; _chunk_contrib divides by len
+        # (its callers pre-max it), and a 0/0 NaN here poisons cotangents
+        # even under zero output ct
+        len=jnp.maximum(rflat[RF_LEN], 1e-30),
         tr_full=rflat[RF_TR:RF_TR + 3].T,
         # sigma_s rows arrive folded with power_scale*in_med: the core is
         # invoked with power_scale=1 and in_med_f=1 so folds apply once

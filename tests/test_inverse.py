@@ -50,3 +50,46 @@ def test_recover_sigma_s():
     err1 = abs(rec - true_ss)
     assert err1 < 0.4 * err0, f"recovered {rec}, losses {losses[::10]}"
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+@pytest.mark.slow
+def test_recover_density_grid():
+    """BASELINE config 5's actual contract: recover the DENSITY GRID of a
+    smoke volume from target images via pixel gradients (the heterogeneous
+    gather's node-table chain: density -> tau nodes + sigma_s scaling)."""
+    from test_photonbeam_vs_volpath import smoke_scene
+
+    cfg = PhotonBeamConfig(
+        maxdepth=2, photonsperiteration=384, initialbeamradius=0.45,
+        gather_chunk=256, grad_geometry=False, grad_extras=False,
+    )
+    scene_true = smoke_scene(g=0.0, n=8)
+    cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.2), (0, 0, 0), (0, 1, 0)), 45.0, WH, WH
+    )
+    distr = light_power_distribution(scene_true)
+    run = sharded_photonbeam_iteration(
+        scene_true, cam, WH, WH, cfg, make_mesh(1), distr
+    )
+    tgt = jnp.mean(
+        jnp.stack([run(jnp.uint32(100 + i), jnp.float32(0.45))
+                   for i in range(3)]), 0
+    ).reshape(WH, WH, 3)
+
+    d_true = np.asarray(scene_true.media.density)
+    d_init = jnp.asarray(np.full_like(d_true, 0.5 * d_true.mean()))
+    scene_init = scene_true._replace(
+        media=scene_true.media._replace(density=d_init))
+    params, losses = optimize_medium(
+        scene_init, cam, WH, WH, tgt, cfg,
+        InverseConfig(steps=60, learning_rate=5e-2, n_devices=1,
+                      optimize=("density",)),
+    )
+    assert losses[-1] < 0.5 * losses[0], losses[::10]
+    # the recovered brick must correlate with the true structure (flat init
+    # correlates at 0).  A single 10x10 view cannot fully resolve 8^3 voxels
+    # (depth ambiguity); the recovery plateaus near corr ~0.49 here — the
+    # bar asserts genuine structural recovery, not full identifiability.
+    rec = np.asarray(params["density"]).ravel()
+    corr = np.corrcoef(rec, d_true.ravel())[0, 1]
+    assert corr > 0.4, f"density correlation {corr}"
