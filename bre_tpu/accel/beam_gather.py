@@ -824,16 +824,31 @@ def _block_overlap_mask(beams_packed, seg_a0, seg_a1, tile, cam_radius):
 
 
 def _packed_forward(cfg, beams_packed, rays_packed, scal):
-    from ..ops.pallas_gather import pallas_gather_forward
+    from ..ops.pallas_gather import (pallas_gather_forward,
+                                     pallas_gather_sparse, sparse_block_ids)
 
-    chunk, tile, power_scale, min_sin, _grad_extras = cfg
+    chunk, tile, power_scale, min_sin, _grad_extras = cfg[:5]
+    sparse_cap = cfg[5] if len(cfg) > 5 else 0
     scalars = jnp.stack(
         [jnp.asarray(scal["cam_radius"], jnp.float32),
          jnp.float32(power_scale), jnp.float32(min_sin),
          jnp.asarray(scal["n_valid"], jnp.float32)]
     ).reshape(1, 4)
-    out = pallas_gather_forward(rays_packed, beams_packed, scalars, tile,
-                                chunk, block_mask=scal.get("block_mask"))
+    mask = scal.get("block_mask")
+    if sparse_cap > 0 and mask is not None:
+        # 1D grid over compacted live blocks; dense 2D grid fallback when
+        # the live count exceeds the static cap (both branches exact)
+        idx, n_live = sparse_block_ids(mask, sparse_cap)
+        out = jax.lax.cond(
+            n_live <= sparse_cap,
+            lambda: pallas_gather_sparse(rays_packed, beams_packed, scalars,
+                                         tile, chunk, idx),
+            lambda: pallas_gather_forward(rays_packed, beams_packed, scalars,
+                                          tile, chunk, block_mask=mask),
+        )
+    else:
+        out = pallas_gather_forward(rays_packed, beams_packed, scalars, tile,
+                                    chunk, block_mask=mask)
     n_tiles = rays_packed.shape[0]
     return out[:, :3, :].transpose(0, 2, 1).reshape(n_tiles * tile, 3)
 
@@ -897,7 +912,7 @@ def _packed_bwd_hetero(cfg, res, ct):
     through the XLA chunk-recompute core (bounded memory); the fused Pallas
     backward kernel carries no node tables.  cam_radius cotangent is
     dropped (progressive schedule, not optimized — grad_extras semantics)."""
-    chunk, tile, power_scale, min_sin, grad_extras = cfg
+    chunk, tile, power_scale, min_sin, grad_extras = cfg[:5]
     beams_packed, rays_packed, scal = res
     n_chunks = beams_packed.shape[0]
     core_cfg = (KERNEL_BRE, int(chunk), int(n_chunks), 1.0, float(min_sin),
@@ -928,7 +943,7 @@ def _packed_bwd(cfg, res, ct):
         pallas_gather_backward_fused,
     )
 
-    chunk, tile, power_scale, min_sin, grad_extras = cfg
+    chunk, tile, power_scale, min_sin, grad_extras = cfg[:5]
     beams_packed, rays_packed, scal = res
     if beams_packed.shape[2] > _NB:  # hetero: XLA recompute backward
         return _packed_bwd_hetero(cfg, res, ct)
@@ -976,10 +991,15 @@ def gather_beams_packed(
     power_scale: float = 1.0,
     min_sin_theta: float = 0.05,
     grad_extras: bool = True,
+    sparse_cap: int = 0,
 ) -> jnp.ndarray:
     """Packed-mode gather (KERNEL_BRE, geometry stop-gradient): per-ray
     medium factors are gathered here; rays are packed per depth step (cheap,
-    R-sized); the beam buffer is reused across all depth steps."""
+    R-sized); the beam buffer is reused across all depth steps.
+
+    ``sparse_cap > 0`` enables the sparse-block kernel: small (256-lane) ray
+    tiles sharpen the chunk x tile AABB cull and a 1D grid over compacted
+    live blocks skips dead ones entirely (dense fallback past the cap)."""
     from ..ops.pallas_gather import pack_rays
 
     from ..ops.pallas_gather import NB as _NB
@@ -1009,7 +1029,8 @@ def gather_beams_packed(
             media, seg_medium, sgg(seg_a0), sgg(seg_a1))
         seg["tau_cam_nodes"] = taud_c
         seg["dens_cam_nodes"] = dens_c
-    tile = _pallas_tile(min(chunk, 256), heavy=grad_extras)
+    tile = (256 if sparse_cap > 0
+            else _pallas_tile(min(chunk, 256), heavy=grad_extras))
     # Small compacted-ray budgets (photonbeam's post-bounce tiers) must not
     # pad to the full 2048 tile — a 102-ray step would sweep 95% dead lanes
     # against every live beam chunk.  Cap the tile at the 256-multiple
@@ -1032,7 +1053,7 @@ def gather_beams_packed(
             beams_packed, seg["a0"], seg["a1"], tile, cam_radius),
     )
     cfg = (int(min(chunk, 256)), int(tile), float(power_scale),
-           float(min_sin_theta), bool(grad_extras))
+           float(min_sin_theta), bool(grad_extras), int(sparse_cap))
     out = _gather_core_packed(cfg, beams_packed, rays_packed, scal)
     return out[:R]
 

@@ -84,6 +84,11 @@ class PhotonBeamConfig:
     max_candidates: int = 4096
     grad_geometry: bool = True  # False: cheaper bwd for medium-param fitting
     grad_extras: bool = True  # False: skip radius/HG-g cotangents in the bwd
+    # sparse-block gather (packed mode): >0 = cap on live (chunk x tile)
+    # blocks for the 1D compacted-grid kernel with 256-lane ray tiles —
+    # wins when blur radii are small relative to the medium (spec-scale
+    # progressive renders); 0 = dense 2D grid (bench default)
+    gather_sparse_cap: int = 0
     # shadow-ray transmittance across null-material medium boundaries
     # (Scene::IntersectTr walk, scene.cpp:63-92); None = resolve from the
     # scene at render/builder entry (common.default_tr_crossings)
@@ -244,6 +249,7 @@ def camera_pass_by_pixels(
                             chunk=cfg.gather_chunk,
                             power_scale=1.0 / float(photons_per_iter),
                             grad_extras=cfg.grad_extras,
+                            sparse_cap=cfg.gather_sparse_cap,
                         )
                     return gather_beams_bruteforce(
                         beams,

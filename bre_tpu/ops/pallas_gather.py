@@ -114,12 +114,15 @@ def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
     #   equivalent of the BVH rejecting a whole subtree.
     @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j % 8, i] > 0))
     def _compute():
-        _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
-                     cam_radius, min_sin, hetero)
+        upd = _pair_block_update(rays_ref, beams_ref, cam_radius, min_sin,
+                                 hetero)
+        out_ref[pl.ds(i, 1)] = out_ref[pl.ds(i, 1)] + upd[None]
 
 
-def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
-                 cam_radius, min_sin, hetero=False):
+def _pair_block_update(rays_ref, beams_ref, cam_radius, min_sin,
+                       hetero=False):
+    """(8, T) accumulated contribution of one (beam chunk x ray tile) pair
+    block — shared by the dense-grid and sparse-block kernels."""
     r_row = lambda k: rays_ref[0, k : k + 1, :]  # (1,T)
     b_col = lambda k: beams_ref[0, :, k : k + 1]  # (C,1)
 
@@ -217,9 +220,8 @@ def _gather_body(scalars_ref, rays_ref, beams_ref, out_ref, i,
             pt = jnp.where(ok, pt, 0.0)
             contrib = w * pt * r_row(RF_SIGS + ch)  # (C,T)
         rows.append(jnp.sum(contrib, axis=0, keepdims=True))
-    upd = jnp.concatenate(
+    return jnp.concatenate(
         rows + [jnp.zeros((5, rows[0].shape[1]), jnp.float32)], 0)  # (8,T)
-    out_ref[pl.ds(i, 1)] = out_ref[pl.ds(i, 1)] + upd[None]
 
 
 def pallas_gather_forward(
@@ -335,3 +337,114 @@ def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
     nb = len(cols)
     packed = jnp.stack(cols, 1)  # (Bp, nb)
     return packed.reshape(n_chunks, chunk, nb)
+
+
+# ---------------------------------------------------------------------------
+# Sparse-block gather: 1D grid over COMPACTED live (beam chunk x ray tile)
+# blocks via scalar-prefetch index maps.
+#
+# At spec scale (millions of Morton-local beams, shrunken blur radii) the
+# chunk x tile AABB mask kills most pair blocks, but the dense 2D grid still
+# pays a grid step + block DMA per dead block — which forbids the small ray
+# tiles that make the mask sharp.  Here the host compacts the live block ids
+# (jnp.nonzero over the tile-major mask: O(blocks) cumsum, no sort) and the
+# kernel runs exactly one grid step per live block, output blocks revisited
+# consecutively (tile-major order).  Every tile owns a mandatory seed entry
+# so its output block is zero-initialized even with no live chunks; fill
+# entries target a dummy tile row that is dropped by the wrapper.
+# ---------------------------------------------------------------------------
+
+
+def _sparse_kernel(idx_ref, scalars_ref, rays_ref, beams_ref, out_ref, *,
+                   n_chunks1, chunk, hetero):
+    i = pl.program_id(0)
+    idx = idx_ref[i]
+    tile = idx // n_chunks1
+    sub = idx % n_chunks1  # 0 = seed entry, k>0 = beam chunk k-1
+    prev = jnp.where(i > 0, idx_ref[jnp.maximum(i - 1, 0)], -1)
+
+    @pl.when(tile != prev // n_chunks1)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    cam_radius = scalars_ref[0, 0]
+    min_sin = scalars_ref[0, 2]
+    n_valid = scalars_ref[0, 3]
+
+    @pl.when((sub > 0) & (jnp.float32((sub - 1) * chunk) < n_valid))
+    def _compute():
+        upd = _pair_block_update(rays_ref, beams_ref, cam_radius, min_sin,
+                                 hetero)
+        out_ref[0] = out_ref[0] + upd
+
+
+def sparse_block_ids(block_mask: jnp.ndarray, cap: int):
+    """Compact live (chunk, tile) blocks to extended flat ids, tile-major.
+
+    Returns (idx (n_tiles + cap,) int32, n_live ()): idx entries are
+    ``tile * (n_chunks+1) + (chunk+1)`` for live blocks, ``tile*(n_chunks+1)``
+    for the per-tile seed entries, and ``n_tiles*(n_chunks+1)`` fill (routed
+    to the dummy tile row).  ``n_live`` counts live blocks only; callers
+    fall back to the dense grid when n_live > cap.
+    """
+    n_chunks, n_tiles = block_mask.shape
+    ext = jnp.concatenate(
+        [jnp.ones((n_tiles, 1), block_mask.dtype), block_mask.T], 1)
+    flat = ext.ravel()
+    (idx,) = jnp.nonzero(flat, size=n_tiles + cap,
+                         fill_value=n_tiles * (n_chunks + 1))
+    n_live = jnp.sum(block_mask > 0).astype(jnp.int32)
+    return idx.astype(jnp.int32), n_live
+
+
+def pallas_gather_sparse(
+    rays_packed: jnp.ndarray,   # (n_tiles, NF, T)
+    beams_packed: jnp.ndarray,  # (n_chunks, C, NB)
+    scalars: jnp.ndarray,       # (1, 4)
+    tile: int,
+    chunk: int,
+    idx: jnp.ndarray,           # from sparse_block_ids
+) -> jnp.ndarray:
+    """Returns (n_tiles, 8, T), same contract as pallas_gather_forward."""
+    n_tiles = rays_packed.shape[0]
+    n_chunks = beams_packed.shape[0]
+    nf = rays_packed.shape[1]
+    nb = beams_packed.shape[2]
+    hetero = nf == NF_HET
+    n_chunks1 = n_chunks + 1
+    interpret = jax.default_backend() != "tpu"
+
+    # +1 dummy ray tile: fill entries index it for both input and output
+    rays_p = jnp.concatenate(
+        [rays_packed, jnp.zeros((1, nf, rays_packed.shape[2]))], 0)
+
+    grid = (idx.shape[0],)
+    out = pl.pallas_call(
+        partial(_sparse_kernel, n_chunks1=n_chunks1, chunk=chunk,
+                hetero=hetero),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda i, idx_ref: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, nf, tile),
+                    lambda i, idx_ref: (idx_ref[i] // n_chunks1, 0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, chunk, nb),
+                    lambda i, idx_ref: (
+                        jnp.maximum(idx_ref[i] % n_chunks1 - 1, 0), 0, 0),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, tile),
+                lambda i, idx_ref: (idx_ref[i] // n_chunks1, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles + 1, 8, rays_packed.shape[2]),
+                                       jnp.float32),
+        interpret=interpret,
+    )(idx, scalars, rays_p, beams_packed)
+    return out[:n_tiles]

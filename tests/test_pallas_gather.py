@@ -280,3 +280,49 @@ def test_packed_hetero_matches_brute():
                                rtol=2e-3, atol=1e-9)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gb[1]),
                                rtol=2e-3, atol=1e-9)
+
+
+def test_sparse_block_gather_matches_dense():
+    """Sparse-block kernel (1D compacted-grid, scalar-prefetch index maps)
+    must equal the dense 2D grid bit-for-bit given the same packed inputs
+    and block mask, including zero-output tiles (seed init) and the packed
+    end-to-end path via gather_beams_packed(sparse_cap=...)."""
+    from bre_tpu.accel.beam_gather import (gather_beams_packed,
+                                           pack_beams_compact)
+    from bre_tpu.ops.pallas_gather import (NB, NF, pallas_gather_forward,
+                                           pallas_gather_sparse,
+                                           sparse_block_ids)
+
+    rs = np.random.RandomState(0)
+    n_tiles, T, n_chunks, C = 4, 256, 6, 256
+    rays = jnp.asarray(rs.uniform(-1, 1, (n_tiles, NF, T)).astype(np.float32))
+    rays = rays.at[:, 9].set(jnp.abs(rays[:, 9]) + 0.5)
+    rays = rays.at[:, 10:13].set(jnp.abs(rays[:, 10:13]) * 0.5 + 0.2)
+    rays = rays.at[:, 13:16].set(jnp.abs(rays[:, 13:16]))
+    beams = jnp.asarray(
+        rs.uniform(-1, 1, (n_chunks, C, NB)).astype(np.float32))
+    beams = beams.at[:, :, 6:12].set(jnp.abs(beams[:, :, 6:12]))
+    beams = beams.at[:, :, 12].set(0.3)
+    scal = jnp.array([[0.2, 1.0, 0.05, n_chunks * C * 1.0]], jnp.float32)
+    mask = jnp.asarray((rs.rand(n_chunks, n_tiles) > 0.4).astype(np.float32))
+    dense = pallas_gather_forward(rays, beams, scal, T, C, block_mask=mask)
+    idx, n_live = sparse_block_ids(mask, cap=n_chunks * n_tiles)
+    sparse = pallas_gather_sparse(rays, beams, scal, T, C, idx)
+    assert int(n_live) == int(mask.sum())
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               rtol=1e-6, atol=1e-7)
+    # all-dead mask: seeds still zero every tile block
+    idx0, _ = sparse_block_ids(jnp.zeros_like(mask), cap=8)
+    z = pallas_gather_sparse(rays, beams, scal, T, C, idx0)
+    assert float(jnp.abs(z).max()) == 0.0
+
+    # end-to-end packed path: sparse_cap on vs off on a real scene
+    beams_s, media, a0, a1, sd, med, trf = _setup(B=512, R=256)
+    bp, n_valid = pack_beams_compact(beams_s, 256)
+    kw = dict(chunk=256, power_scale=1e-3, grad_extras=False)
+    base = gather_beams_packed(bp, n_valid, media, a0, a1, sd, med, trf,
+                               jnp.float32(0.2), **kw)
+    sp = gather_beams_packed(bp, n_valid, media, a0, a1, sd, med, trf,
+                             jnp.float32(0.2), **kw, sparse_cap=4096)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(base),
+                               rtol=1e-5, atol=1e-8)
