@@ -326,3 +326,23 @@ def test_sparse_block_gather_matches_dense():
                              jnp.float32(0.2), **kw, sparse_cap=4096)
     np.testing.assert_allclose(np.asarray(sp), np.asarray(base),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_sparse_block_gather_hetero():
+    """Sparse mode with heterogeneous node tables (NF_HET/NB_HET layouts)."""
+    from bre_tpu.accel.beam_gather import (gather_beams_packed,
+                                           medium_interval_nodes,
+                                           pack_beams_compact)
+
+    beams, media, a0, a1, sd, med, trf = _setup_hetero(B=512, R=256)
+    tau_b, _ = medium_interval_nodes(media, beams.medium, beams.start,
+                                     beams.end)
+    bp, n_valid = pack_beams_compact(beams, 256, tau_nodes=tau_b)
+    kw = dict(chunk=256, power_scale=1e-3, grad_extras=False)
+    base = gather_beams_packed(bp, n_valid, media, a0, a1, sd, med, trf,
+                               jnp.float32(0.2), **kw)
+    sp = gather_beams_packed(bp, n_valid, media, a0, a1, sd, med, trf,
+                             jnp.float32(0.2), **kw, sparse_cap=4096)
+    assert np.asarray(base).max() > 0
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(base),
+                               rtol=1e-5, atol=1e-8)
