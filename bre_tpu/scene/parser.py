@@ -563,7 +563,7 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 else:
                     b.sphere(c, r, material=gs.material, medium_inside=mi,
                              medium_outside=mo)
-            elif stype in ("trianglemesh", "plymesh"):
+            elif stype in ("trianglemesh", "plymesh", "heightfield"):
                 if stype == "plymesh":
                     # Shape "plymesh" "string filename" (plymesh.cpp via
                     # rply); path relative to the scene file like Include
@@ -572,6 +572,24 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                     fname = str(p.get("filename", "")).strip('"')
                     pts, tri_idx = read_ply(ts.include_dir / fname)
                     idx = [int(v) for v in tri_idx.reshape(-1)]
+                elif stype == "heightfield":
+                    # heightfield.cpp CreateHeightfield: an (nu x nv) height
+                    # grid over [0,1]^2 in object space, tessellated into a
+                    # triangle mesh (2 triangles per cell)
+                    nu_, nv_ = _i(p, "nu", 2), _i(p, "nv", 2)
+                    z = np.asarray(p.get("Pz", []), np.float32).reshape(
+                        nv_, nu_)
+                    xs, ys = np.meshgrid(
+                        np.linspace(0.0, 1.0, nu_, dtype=np.float32),
+                        np.linspace(0.0, 1.0, nv_, dtype=np.float32))
+                    pts = np.stack([xs, ys, z], -1).reshape(-1, 3)
+                    idx = []
+                    for j_ in range(nv_ - 1):
+                        for i_ in range(nu_ - 1):
+                            v00 = j_ * nu_ + i_
+                            v10, v01 = v00 + 1, v00 + nu_
+                            v11 = v01 + 1
+                            idx += [v00, v10, v11, v00, v11, v01]
                 else:
                     idx = [int(v) for v in p.get("indices", [])]
                     pts = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
