@@ -305,6 +305,18 @@ class SceneBuilder:
     def tex_dots(self, c0=(1, 1, 1), c1=(0, 0, 0)) -> int:
         return self._add_tex(TEX_DOTS, c0, c1)
 
+    def tex_bilerp(self, v00=(0, 0, 0), v01=(1, 1, 1), v10=(0, 0, 0),
+                   v11=(1, 1, 1)) -> int:
+        """4-corner bilinear interpolation over uv (bilerp.cpp); corners
+        are constants (the reference's texture-valued corners degrade to
+        their constant values here)."""
+        from ..textures import TEX_BILERP
+
+        i = self._add_tex(TEX_BILERP, v00, v11)
+        self._tex[i]["c2"] = _rgb(v01)
+        self._tex[i]["c3"] = _rgb(v10)
+        return i
+
     def tex_scale(self, c0=(1, 1, 1), c1=(1, 1, 1), tex1=-1, tex2=-1) -> int:
         """Product texture (scale.cpp): tex1 * tex2, constants where a
         sub-texture slot is -1."""
@@ -948,6 +960,12 @@ class SceneBuilder:
             child0=col(self._tex, "child0"),
             child1=col(self._tex, "child1"),
             nest=jnp.zeros((_tex_graph_depth(self._tex),)),
+            c2=jnp.asarray(np.stack(
+                [t.get("c2", np.zeros(3, np.float32)) for t in self._tex])
+                if self._tex else np.zeros((0, 3), np.float32)),
+            c3=jnp.asarray(np.stack(
+                [t.get("c3", np.zeros(3, np.float32)) for t in self._tex])
+                if self._tex else np.zeros((0, 3), np.float32)),
         )
         l_atlas_np, l_offs = pack_atlas(self._light_images)
         n_l = len(self._light)

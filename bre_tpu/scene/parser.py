@@ -453,6 +453,10 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 named_textures[tname] = b.tex_windy()
             elif tclass == "uv":
                 named_textures[tname] = b.tex_uv()
+            elif tclass == "bilerp":
+                named_textures[tname] = b.tex_bilerp(
+                    _p3(p, "v00", (0, 0, 0)), _p3(p, "v01", (1, 1, 1)),
+                    _p3(p, "v10", (0, 0, 0)), _p3(p, "v11", (1, 1, 1)))
             elif tclass == "dots":
                 named_textures[tname] = b.tex_dots()
             else:

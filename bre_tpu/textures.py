@@ -34,6 +34,7 @@ TEX_DOTS = 7
 TEX_SCALE = 8
 TEX_MIX = 9
 TEX_IMAGE = 10  # src/textures/imagemap.cpp + src/core/mipmap.h
+TEX_BILERP = 11  # src/textures/bilerp.cpp: 4-corner bilinear over uv
 
 MAX_MIP_LEVELS = 12
 
@@ -57,6 +58,9 @@ class Textures(NamedTuple):
     # of sub-textures, -1 = use the stored constant c0/c1
     child0: jnp.ndarray = jnp.zeros((0,), jnp.int32)  # (Nt,)
     child1: jnp.ndarray = jnp.zeros((0,), jnp.int32)  # (Nt,)
+    # bilerp corners v01/v10 (v00/v11 live in c0/c1)
+    c2: jnp.ndarray = jnp.zeros((0, 3))  # (Nt,3)
+    c3: jnp.ndarray = jnp.zeros((0, 3))  # (Nt,3)
     # static graph depth marker: shape (D,) where D = max nesting depth
     # (shape-encoded so evaluation stays static under jit; zeros content)
     nest: jnp.ndarray = jnp.zeros((0,), jnp.float32)
@@ -71,7 +75,8 @@ def empty_textures() -> Textures:
                     img_off=zi, img_w=zi, img_h=zi, n_levels=zi,
                     uv_scale=jnp.zeros((0, 2)), uv_delta=jnp.zeros((0, 2)),
                     atlas=jnp.zeros((1, 1, 3)),
-                    child0=zi, child1=zi, nest=jnp.zeros((0,)))
+                    child0=zi, child1=zi, nest=jnp.zeros((0,)),
+                    c2=z3, c3=z3)
 
 
 def build_pyramid(image: np.ndarray, max_levels: int = MAX_MIP_LEVELS):
@@ -378,6 +383,13 @@ def _eval_one_level(tex: Textures, ti, tt, p: jnp.ndarray,
     inside = (jnp.sum(dd * dd, -1) < rad * rad)
     out = jnp.where((tt == TEX_DOTS)[:, None],
                     jnp.where(inside[:, None], v0, v1), out)
+    # bilerp (bilerp.cpp): corners v00=c0, v01=c2, v10=c3, v11=c1
+    if tex.c2.shape[0]:
+        su = (uv[:, 0] % 1.0)[:, None]
+        tv = (uv[:, 1] % 1.0)[:, None]
+        bl = ((1 - su) * (1 - tv) * c0 + (1 - su) * tv * tex.c2[ti]
+              + su * (1 - tv) * tex.c3[ti] + su * tv * c1)
+        out = jnp.where((tt == TEX_BILERP)[:, None], bl, out)
     # scale / mix over sub-values (scale.cpp, mix.cpp)
     out = jnp.where((tt == TEX_SCALE)[:, None], v0 * v1, out)
     out = jnp.where((tt == TEX_MIX)[:, None],
