@@ -239,16 +239,25 @@ def trace_photon_beams_by_index(
         rng, s0 = pcg32_next_f32(rng)
         rng, s1 = pcg32_next_f32(rng)
         bs = sample_bsdf(
-            scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
+            scene.materials, h.material, h.ns, -d, jnp.stack([s0, s1], -1),
             mode=MODE_IMPORTANCE, tangent=h.tangent,
         )
         pdf_ok = bs.pdf > 1e-12
+        # CorrectShadingNormal (reference bdpt.h:68-86): importance
+        # transport with shading normals needs the |wo.ns||wi.ng| /
+        # (|wo.ng||wi.ns|) density correction; identically 1 when the mesh
+        # has no vertex normals (ns == ng)
+        csn_num = absdot(-d, h.ns) * absdot(bs.wi, h.n)
+        csn_den = jnp.maximum(absdot(-d, h.n) * absdot(bs.wi, h.ns), 1e-12)
+        csn = jnp.where(pdf_ok, csn_num / csn_den, 1.0)
         beta_surface = (
             beta
             * ms.weight  # pass-through medium weight (Tr/pdf)
             * jnp.where(pdf_ok[:, None], bs.f, 0.0)
             * jnp.where(
-                pdf_ok, absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0
+                pdf_ok,
+                csn * absdot(bs.wi, h.ns) / jnp.where(pdf_ok, bs.pdf, 1.0),
+                0.0,
             )[:, None]
         )
         # medium on the outgoing side of the surface

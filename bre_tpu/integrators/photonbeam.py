@@ -342,7 +342,7 @@ def camera_pass_by_pixels(
         # direct lighting (photonbeam.cpp:530-532)
         if cfg.rendersurfaces:
             rng, nee = sample_one_light(
-                scene, rng, p_seg_end, h.n, -d, h.material, medium,
+                scene, rng, p_seg_end, h.ns, -d, h.material, medium,
                 jnp.ones((R,), bool), tangent=h.tangent,
                 tr_crossings=cfg.tr_crossings or 0,
             )
@@ -354,7 +354,7 @@ def camera_pass_by_pixels(
         rng, s0 = pcg32_next_f32(rng)
         rng, s1 = pcg32_next_f32(rng)
         bs = sample_bsdf(
-            scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
+            scene.materials, h.material, h.ns, -d, jnp.stack([s0, s1], -1),
             mode=MODE_RADIANCE, tangent=h.tangent,
         )
         cont = surf & ~is_boundary & bs.valid & (
@@ -365,7 +365,7 @@ def camera_pass_by_pixels(
             pdf_ok[:, None],
             beta
             * bs.f
-            * (absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0))[:, None],
+            * (absdot(bs.wi, h.ns) / jnp.where(pdf_ok, bs.pdf, 1.0))[:, None],
             beta,
         )
         new_d = jnp.where(

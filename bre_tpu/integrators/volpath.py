@@ -288,7 +288,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
             duv_dy = jnp.where(fm, duv_dy, 0.0)
 
         rng, nee_surf = _nee(
-            rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
+            rng, h_p, h.ns, -d, h.material, medium, jnp.ones((R,), bool),
             tangent=h.tangent, uv=h.uv, duv_dx=duv_dx, duv_dy=duv_dy,
         )
         L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
@@ -296,7 +296,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
         rng, s0 = stream_1d(rng)
         rng, s1 = stream_1d(rng)
         bs = sample_bsdf(
-            scene.materials, h.material, h.n, -d, jnp.stack([s0, s1], -1),
+            scene.materials, h.material, h.ns, -d, jnp.stack([s0, s1], -1),
             mode=MODE_RADIANCE, tangent=h.tangent,
             textures=scene.textures, p=h_p, uv=h.uv,
             duv_dx=duv_dx, duv_dy=duv_dy,
@@ -308,7 +308,7 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
         beta_surf = (
             beta
             * jnp.where(pdf_ok[:, None], bs.f, 0.0)
-            * jnp.where(pdf_ok, absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0)[
+            * jnp.where(pdf_ok, absdot(bs.wi, h.ns) / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0)[
                 :, None
             ]
         )

@@ -381,7 +381,14 @@ class SceneBuilder:
         medium_outside: int = -1,
         _area_light: int = -1,
         tangent=None,
+        n0=None,
+        n1=None,
+        n2=None,
     ) -> int:
+        """``n0/n1/n2``: optional per-vertex shading normals (pbrt
+        trianglemesh "normal N", triangle.cpp shading geometry); None =
+        faceted (geometric normal)."""
+        z3 = np.zeros(3, np.float32)
         self._tri.append(
             dict(
                 p0=_rgb(p0),
@@ -391,8 +398,10 @@ class SceneBuilder:
                 mi=medium_inside,
                 mo=medium_outside,
                 al=_area_light,
-                tangent=_rgb(tangent) if tangent is not None
-                else np.zeros(3, np.float32),
+                tangent=_rgb(tangent) if tangent is not None else z3,
+                n0=_rgb(n0) if n0 is not None else z3,
+                n1=_rgb(n1) if n1 is not None else z3,
+                n2=_rgb(n2) if n2 is not None else z3,
             )
         )
         return len(self._tri) - 1
@@ -906,6 +915,15 @@ class SceneBuilder:
             medium_outside=col(self._tri, "mo"),
             area_light=col(self._tri, "al"),
             tangent=stack(self._tri, "tangent"),
+            n0=jnp.asarray(np.stack(
+                [t.get("n0", np.zeros(3, np.float32)) for t in self._tri])
+                if self._tri else np.zeros((0, 3), np.float32)),
+            n1=jnp.asarray(np.stack(
+                [t.get("n1", np.zeros(3, np.float32)) for t in self._tri])
+                if self._tri else np.zeros((0, 3), np.float32)),
+            n2=jnp.asarray(np.stack(
+                [t.get("n2", np.zeros(3, np.float32)) for t in self._tri])
+                if self._tri else np.zeros((0, 3), np.float32)),
         )
         materials = Materials(
             mtype=col(self._mat, "mtype"),

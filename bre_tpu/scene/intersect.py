@@ -53,6 +53,11 @@ class Hit(NamedTuple):
     uv: jnp.ndarray  # (R,2) surface parameterization (sphere phi/theta,
     #                  triangle barycentrics) — pbrt SurfaceInteraction::uv
     tangent: jnp.ndarray  # (R,3) shading tangent (hair fiber dir; zeros else)
+    # shading normal (pbrt SurfaceInteraction::shading.n): barycentric
+    # interpolation of per-vertex normals when the mesh has them, else the
+    # geometric normal.  BSDF evaluation uses ns; ray offsets and medium
+    # entering/exit tests stay on the geometric n.
+    ns: jnp.ndarray = None  # (R,3)
 
 
 def ray_sphere(o, d, center, radius, t_min, t_max):
@@ -418,6 +423,24 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         tangent = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None],
                             scene.triangles.tangent[best_idx], tangent)
 
+    # shading normal: barycentric vertex-normal interpolation where the
+    # mesh carries normals (triangle.cpp shading geometry); oriented into
+    # the geometric normal's hemisphere so sidedness tests stay consistent
+    ns = n
+    if scene.n_triangles > 0 and scene.triangles.n0.shape[0]:
+        vn0 = scene.triangles.n0[best_idx]
+        vn1 = scene.triangles.n1[best_idx]
+        vn2 = scene.triangles.n2[best_idx]
+        has_vn = jnp.sum(jnp.abs(vn0), -1) > 0.0
+        b1v, b2v = uv[:, 0], uv[:, 1]
+        ns_t = ((1.0 - b1v - b2v)[:, None] * vn0
+                + b1v[:, None] * vn1 + b2v[:, None] * vn2)
+        ns_t = normalize(ns_t)
+        flip = jnp.where(jnp.sum(ns_t * n, -1) < 0.0, -1.0, 1.0)
+        ns = jnp.where(
+            ((best_kind == SHAPE_TRIANGLE) & has_vn)[:, None],
+            ns_t * flip[:, None], ns)
+
     return Hit(
         valid=valid,
         t=jnp.where(valid, best_t, t_max),
@@ -431,6 +454,7 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         prim_index=best_idx,
         uv=uv,
         tangent=tangent,
+        ns=ns,
     )
 
 

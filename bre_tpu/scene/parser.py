@@ -598,15 +598,33 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                     idx = [int(v) for v in p.get("indices", [])]
                     pts = np.asarray(p.get("P", []), np.float32).reshape(-1, 3)
                 pts_w = pts @ ctm[:3, :3].T + ctm[:3, 3]
+                # per-vertex shading normals ("normal N"): transform by the
+                # inverse-transpose (normal covariance), flip under
+                # ReverseOrientation (api.cpp semantics)
+                vns = None
+                if stype == "trianglemesh" and "N" in p:
+                    vns = np.asarray(p["N"], np.float32).reshape(-1, 3)
+                    inv_t = np.linalg.inv(ctm[:3, :3]).T
+                    vns = vns @ inv_t.T
+                    vns /= np.maximum(
+                        np.linalg.norm(vns, axis=-1, keepdims=True), 1e-12)
+                    if gs.reverse_orientation:
+                        vns = -vns
                 for k in range(0, len(idx), 3):
-                    v0, v1, v2 = pts_w[idx[k]], pts_w[idx[k + 1]], pts_w[idx[k + 2]]
+                    i0, i1, i2 = idx[k], idx[k + 1], idx[k + 2]
+                    v0, v1, v2 = pts_w[i0], pts_w[i1], pts_w[i2]
+                    nk = (None, None, None)
+                    if vns is not None:
+                        nk = (vns[i0], vns[i1], vns[i2])
                     if gs.reverse_orientation:
                         v1, v2 = v2, v1
+                        nk = (nk[0], nk[2], nk[1])
                     if gs.area_light is not None:
                         light_id = len(b._light)
                         tidx = b.triangle(v0, v1, v2, material=gs.material,
                                           medium_inside=mi, medium_outside=mo,
-                                          _area_light=light_id)
+                                          _area_light=light_id,
+                                          n0=nk[0], n1=nk[1], n2=nk[2])
                         from .scene import LIGHT_DIFFUSE_AREA, SHAPE_TRIANGLE
 
                         b._add_light(
@@ -620,7 +638,8 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                         )
                     else:
                         b.triangle(v0, v1, v2, material=gs.material,
-                                   medium_inside=mi, medium_outside=mo)
+                                   medium_inside=mi, medium_outside=mo,
+                                   n0=nk[0], n1=nk[1], n2=nk[2])
             elif stype == "disk":
                 b.disk(xf_point((0, 0, _f(p, "height", 0.0))),
                        normal=ctm[:3, 2], radius=_f(p, "radius", 1.0),

@@ -80,6 +80,11 @@ class Triangles(NamedTuple):
     area_light: jnp.ndarray
     tangent: jnp.ndarray  # (Nt, 3) shading tangent (fiber direction for
     # hair-on-tube triangles; zeros elsewhere — pbrt's curve dpdu)
+    # per-vertex shading normals ("normal N" on trianglemesh,
+    # triangle.cpp shading geometry); zeros = faceted (use geometric)
+    n0: jnp.ndarray = jnp.zeros((0, 3))  # (Nt, 3)
+    n1: jnp.ndarray = jnp.zeros((0, 3))
+    n2: jnp.ndarray = jnp.zeros((0, 3))
 
 
 class Materials(NamedTuple):
