@@ -260,7 +260,7 @@ def _segment_interaction(scene: Scene, o, d, medium, active, sp: PathSampler):
         real_surf = surf & ~is_boundary
         kind = jnp.where(real_surf, 2, kind)
         out_p = jnp.where(real_surf[:, None], h_p, out_p)
-        out_n = jnp.where(real_surf[:, None], h.n, out_n)
+        out_n = jnp.where(real_surf[:, None], h.ns, out_n)
         out_mat = jnp.where(real_surf, h.material, out_mat)
         out_al = jnp.where(real_surf, h.area_light, out_al)
         out_med = jnp.where(real_surf, cur_med, out_med)

@@ -75,7 +75,7 @@ def render_ao(scene: Scene, camera: Camera, width: int, height: int,
     R = width * height
     o, d = generate_rays(camera, pixel_centers(width, height))
     h = intersect(scene, o, d)
-    n = jnp.where((jnp.sum(h.n * -d, -1) < 0)[:, None], -h.n, h.n)
+    n = jnp.where((jnp.sum(h.ns * -d, -1) < 0)[:, None], -h.ns, h.ns)
     vx, vy = coordinate_system(n)
     rng = pcg32_init(jnp.arange(R, dtype=jnp.uint32))
 

@@ -150,11 +150,11 @@ def shoot_photons(scene: Scene, cfg: PhotonMapConfig, seed: int = 0):
         wi_phase, _ = hg_sample_p(-d, g_here, jnp.stack([p0, p1], -1))
         rng, s0 = pcg32_next_f32(rng)
         rng, s1 = pcg32_next_f32(rng)
-        bs = sample_bsdf(scene.materials, h.material, h.n, -d,
+        bs = sample_bsdf(scene.materials, h.material, h.ns, -d,
                          jnp.stack([s0, s1], -1), mode=MODE_IMPORTANCE)
         pdf_ok = bs.pdf > 1e-12
         beta_surf = (beta * jnp.where(pdf_ok[:, None], bs.f, 0.0)
-                     * jnp.where(pdf_ok, absdot(bs.wi, h.n)
+                     * jnp.where(pdf_ok, absdot(bs.wi, h.ns)
                                  / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0)[:, None])
         entering = dot(d, h.n) < 0.0
         med_b = jnp.where(entering, h.medium_inside, h.medium_outside)
@@ -307,14 +307,14 @@ def render_photonmap(scene: Scene, camera: Camera, width: int, height: int,
             see_le = surf & (first | specular)
             L = L + jnp.where(see_le[:, None],
                               beta * area_light_emitted(scene, h.area_light, h.n, -d), 0.0)
-            rng, nee = sample_one_light(scene, rng, h_p, h.n, -d, h.material,
+            rng, nee = sample_one_light(scene, rng, h_p, h.ns, -d, h.material,
                                         medium, jnp.ones((R,), bool),
                                         tr_crossings=cfg.tr_crossings or 0)
             L = L + jnp.where((surf & ~is_boundary)[:, None], beta * nee, 0.0)
 
             # ---- surface: caustic + indirect photon estimates (pi r^2) ----
             def f_surf(wi_j, pw_j):
-                f, _ = eval_bsdf(scene.materials, h.material, h.n, -d, wi_j)
+                f, _ = eval_bsdf(scene.materials, h.material, h.ns, -d, wi_j)
                 return f * pw_j
 
             rad = jnp.full((R,), cfg.maxdist)
@@ -329,13 +329,13 @@ def render_photonmap(scene: Scene, camera: Camera, width: int, height: int,
             # specular continuation only (diffuse indirect comes from the map)
             rng, s0 = pcg32_next_f32(rng)
             rng, s1 = pcg32_next_f32(rng)
-            bs = sample_bsdf(scene.materials, h.material, h.n, -d,
+            bs = sample_bsdf(scene.materials, h.material, h.ns, -d,
                              jnp.stack([s0, s1], -1), mode=MODE_RADIANCE)
             cont = surf & ~is_boundary & bs.valid & bs.specular
             pdf_ok = cont & (bs.pdf > 1e-12)
             beta = jnp.where(
                 pdf_ok[:, None],
-                beta * bs.f * (absdot(bs.wi, h.n)
+                beta * bs.f * (absdot(bs.wi, h.ns)
                                / jnp.where(pdf_ok, bs.pdf, 1.0))[:, None],
                 beta,
             )

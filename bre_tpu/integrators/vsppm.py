@@ -160,7 +160,7 @@ def _camera_pass(scene: Scene, camera: Camera, width: int, height: int,
         Le = area_light_emitted(scene, h.area_light, h.n, -d)
         Ld = Ld + jnp.where(see_le[:, None], beta * Le, 0.0)
         rng, nee_surf = sample_one_light(
-            scene, rng, h_p, h.n, -d, h.material, medium, jnp.ones((R,), bool),
+            scene, rng, h_p, h.ns, -d, h.material, medium, jnp.ones((R,), bool),
             tr_crossings=cfg.tr_crossings or 0,
         )
         Ld = Ld + jnp.where((surf & ~is_boundary)[:, None], beta * nee_surf, 0.0)
@@ -184,20 +184,20 @@ def _camera_pass(scene: Scene, camera: Camera, width: int, height: int,
         vp_wo = jnp.where(record[:, None], -d, state["vp_wo"])
         vp_beta = jnp.where(record[:, None], beta, state["vp_beta"])
         vp_mat = jnp.where(record, h.material, state["vp_mat"])
-        vp_n = jnp.where(record[:, None], h.n, state["vp_n"])
+        vp_n = jnp.where(record[:, None], h.ns, state["vp_n"])
         vp_g = jnp.where(record, g_here, state["vp_g"])
         vp_ss = jnp.where(record[:, None], sigma_s_here, state["vp_ss"])
 
         # specular continuation (vsppm.cpp:334-351)
         rng, s0 = pcg32_next_f32(rng)
         rng, s1 = pcg32_next_f32(rng)
-        bs = sample_bsdf(scene.materials, h.material, h.n, -d,
+        bs = sample_bsdf(scene.materials, h.material, h.ns, -d,
                          jnp.stack([s0, s1], -1), mode=MODE_RADIANCE)
         cont = surf & ~is_boundary & ~record & bs.valid & ~at_last
         pdf_ok = cont & (bs.pdf > 1e-12)
         new_beta = jnp.where(
             pdf_ok[:, None],
-            beta * bs.f * (absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0))[:, None],
+            beta * bs.f * (absdot(bs.wi, h.ns) / jnp.where(pdf_ok, bs.pdf, 1.0))[:, None],
             beta,
         )
         # RR (vsppm.cpp:345-350)
@@ -314,12 +314,12 @@ def _photon_pass(scene: Scene, light_distr, iter_idx, photons: int, cfg: VSPPMCo
         wi_phase, _ = hg_sample_p(-d, g_here, u_ph)
 
         hs, u_bs = halton_next_2d(hs)
-        bs = sample_bsdf(scene.materials, h.material, h.n, -d, u_bs,
+        bs = sample_bsdf(scene.materials, h.material, h.ns, -d, u_bs,
                          mode=MODE_IMPORTANCE)
         pdf_ok = bs.pdf > 1e-12
         beta_surf = (
             beta * jnp.where(pdf_ok[:, None], bs.f, 0.0)
-            * jnp.where(pdf_ok, absdot(bs.wi, h.n) / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0)[:, None]
+            * jnp.where(pdf_ok, absdot(bs.wi, h.ns) / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0)[:, None]
         )
         entering = dot(d, h.n) < 0.0
         med_boundary = jnp.where(entering, h.medium_inside, h.medium_outside)
