@@ -283,6 +283,52 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
 
     if kernel == KERNEL_COMPAT:
         # photonbeam.cpp:500-505, including the hardcoded 1e-5 scale.
+        # The reference only sees beams whose WorldBound() AABB the camera
+        # ray hits (PhotonBeamBVH::Intersect, photonbeambvh.cpp:685-723) —
+        # and that AABB is inflated by the BEAM radius alone (no camera
+        # radius, zero inflation along the beam axis, photonbeambvh.h:59-71),
+        # so it under-covers the closest-point kernel support.  Replicate
+        # the slab test per pair; without it a compat render is several-fold
+        # brighter than the reference near medium boundaries.
+        blen = length(c_end - c_start)  # (1,C)
+        bdirn = (c_end - c_start) / jnp.maximum(blen, 1e-30)[..., None]
+        # NOTE the reference's size uses the SIGNED direction component
+        # (`size.x = dir.x * len + 2*radius*sqrt(1-dir.x^2)`), so for beams
+        # pointing toward -x/-y/-z the box COLLAPSES to
+        # ||d_i|*len - inflation| on that axis (Bounds3f's two-point ctor
+        # min/maxes the corners) — beams heading in negative directions are
+        # mostly culled.  That reference bug is visible as a dark left/bottom
+        # in its renders; compat replicates it bit-for-bit.
+        half = 0.5 * jnp.abs(
+            bdirn * blen[..., None]
+            + 2.0 * c_rad[..., None]
+            * jnp.sqrt(jnp.maximum(1.0 - bdirn * bdirn, 0.0))
+        )  # (1,C,3)
+        center = 0.5 * (c_start + c_end)
+        bmin = center - half
+        bmax = center + half
+        o_r = seg["a0"][:, None, :]  # (R,1,3)
+        d_r = seg["dir"][:, None, :]
+        axis_ok = jnp.abs(d_r) > 1e-12
+        inv = 1.0 / jnp.where(axis_ok, d_r, 1.0)
+        tA = (bmin - o_r) * inv
+        tB = (bmax - o_r) * inv
+        t_lo = jnp.minimum(tA, tB)
+        # pbrt scales each slab's tFar by 1 + 2*gamma(3) (geometry.h
+        # IntersectP robustness fudge)
+        t_hi = jnp.maximum(tA, tB) * (1.0 + 2.0 * 1.7881393e-7)
+        big = jnp.float32(1e30)
+        t_lo = jnp.where(axis_ok, t_lo, -big)
+        t_hi = jnp.where(axis_ok, t_hi, big)
+        inside = (o_r >= bmin) & (o_r <= bmax)
+        degen_ok = axis_ok | inside
+        t0 = jnp.max(t_lo, axis=-1)
+        t1 = jnp.min(t_hi, axis=-1)
+        aabb_hit = (
+            (t0 <= t1) & (t0 < seg["len"][:, None]) & (t1 > 0.0)
+            & jnp.all(degen_ok, axis=-1)
+        )
+        in_range = in_range * aabb_hit.astype(jnp.float32)
         w = 1e-5 * jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0))
         contrib = w[..., None] * c_pe
     else:

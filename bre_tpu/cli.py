@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--nthreads", type=int, default=0,
                     help="accepted for pbrt compatibility (mesh-parallel instead)")
+    ap.add_argument("--kernel", default=None, choices=["bre", "compat"],
+                    help="photonbeam estimator kernel: 'bre' (physically "
+                         "normalized, default) or 'compat' (the reference's "
+                         "unnormalized 1e-5 kernel + reference-exact photon "
+                         "walk, for seed-matched image comparison)")
     ap.add_argument("--cat", action="store_true",
                     help="print reformatted scene to stdout and exit (pbrt --cat)")
     ap.add_argument("--toply", action="store_true",
@@ -101,6 +106,7 @@ def main(argv=None) -> int:
             alpha=getf("alpha", 0.5),
             rendersurfaces=bool(p.get("rendersurfaces", True)),
             rendermedia=bool(p.get("rendermedia", True)),
+            kernel=args.kernel or "bre",
         )
         img, stats = render_photonbeam(scene, ps.camera, ps.width, ps.height, cfg)
     elif name == "vsppm":

@@ -18,13 +18,17 @@ Media vertices (phase-function scattering) are first-class, as in the
 reference.  Like pbrt-v3, camera importance pdfs exist only for the
 perspective camera (perspective.cpp is the sole ``Pdf_We`` implementation).
 
-Simplifications vs the reference, documented:
-- connection transmittance uses the endpoint's medium over the unoccluded
-  segment (same approximation as this framework's NEE in common.py);
-- up to 3 medium-interface (null-material) crossings per path segment
-  (pbrt's RandomWalk loops unboundedly; scenes here need <= 2);
-- shading normals equal geometric normals, so pbrt's CorrectShadingNormal
-  importance factor (bdpt.h:68-86) is identically 1.
+Fidelity notes:
+- connection/shadow transmittance uses ``segment_transmittance_walk`` —
+  the ``Scene::IntersectTr``-style crossing walk over null-material medium
+  boundaries (scene.cpp:63-92), bounded at ``tr_crossings`` hops;
+- path-extension segments cross up to 3 medium-interface (null-material)
+  boundaries (pbrt's RandomWalk loops unboundedly; scenes here need <= 2);
+- vertices carry BOTH normals: the geometric normal drives ray offsets and
+  density conversion (``ng()``), the interpolated shading normal drives
+  BSDF frames and connection cosines (``ns()``, bdpt.cpp:222-223,473,500),
+  with ``CorrectShadingNormal`` (bdpt.h:68-86, bdpt.cpp:55-66) applied in
+  importance transport.
 """
 
 from __future__ import annotations
@@ -136,7 +140,10 @@ class VertexB(NamedTuple):
     valid: jnp.ndarray   # bool — slot occupied
     vtype: jnp.ndarray   # int32 VT_*
     p: jnp.ndarray       # (R,3)
-    n: jnp.ndarray       # (R,3) geometric normal (zero off-surface)
+    n: jnp.ndarray       # (R,3) geometric normal (zero off-surface) — used
+    #                      for ray offsets and density conversion (ng())
+    ns: jnp.ndarray      # (R,3) shading normal (ns(), bdpt.h:217-222) — used
+    #                      for BSDF frames and connection cosines
     beta: jnp.ndarray    # (R,3) throughput up to and including this vertex
     pdf_fwd: jnp.ndarray  # area-measure pdf of sampling this vertex forward
     pdf_rev: jnp.ndarray  # area-measure pdf of sampling it from the far end
@@ -155,7 +162,7 @@ def _empty_vertex(R):
     zf = jnp.zeros((R,))
     return VertexB(
         valid=jnp.zeros((R,), bool), vtype=jnp.zeros((R,), jnp.int32), p=z3,
-        n=z3, beta=jnp.zeros((R, 3)), pdf_fwd=zf, pdf_rev=zf,
+        n=z3, ns=z3, beta=jnp.zeros((R, 3)), pdf_fwd=zf, pdf_rev=zf,
         delta=jnp.zeros((R,), bool), connectible=jnp.zeros((R,), bool),
         mat=zi, med=zi, area_light=zi, light_idx=zi, wo=z3,
     )
@@ -234,6 +241,7 @@ def _segment_interaction(scene: Scene, o, d, medium, active, sp: PathSampler):
     kind = jnp.zeros((R,), jnp.int32)
     out_p = jnp.zeros((R, 3))
     out_n = jnp.zeros((R, 3))
+    out_ns = jnp.zeros((R, 3))
     out_mat = jnp.full((R,), -1, jnp.int32)
     out_al = jnp.full((R,), -1, jnp.int32)
     out_med = jnp.full((R,), -1, jnp.int32)
@@ -260,7 +268,8 @@ def _segment_interaction(scene: Scene, o, d, medium, active, sp: PathSampler):
         real_surf = surf & ~is_boundary
         kind = jnp.where(real_surf, 2, kind)
         out_p = jnp.where(real_surf[:, None], h_p, out_p)
-        out_n = jnp.where(real_surf[:, None], h.ns, out_n)
+        out_n = jnp.where(real_surf[:, None], h.n, out_n)
+        out_ns = jnp.where(real_surf[:, None], h.ns, out_ns)
         out_mat = jnp.where(real_surf, h.material, out_mat)
         out_al = jnp.where(real_surf, h.area_light, out_al)
         out_med = jnp.where(real_surf, cur_med, out_med)
@@ -275,7 +284,7 @@ def _segment_interaction(scene: Scene, o, d, medium, active, sp: PathSampler):
         pending = is_boundary
 
     return dict(
-        kind=kind, weight=weight, p=out_p, n=out_n, mat=out_mat,
+        kind=kind, weight=weight, p=out_p, n=out_n, ns=out_ns, mat=out_mat,
         area_light=out_al, med=out_med, med_in=out_med_in, med_out=out_med_out,
     )
 
@@ -327,10 +336,11 @@ def _random_walk(scene: Scene, sp: PathSampler, o, d, beta, pdf_dir, medium,
         # medium: HG phase (pdf symmetric wo<->wi)
         _, _, g_here, _, _ = gather_medium(scene.media, it["med"])
         wi_phase, pdf_phase = hg_sample_p(wo, g_here, sp.next2())
-        # surface: BSDF
-        bs = sample_bsdf(scene.materials, it["mat"], it["n"], wo,
+        # surface: BSDF (shading frame, bdpt.cpp:196-199)
+        bs = sample_bsdf(scene.materials, it["mat"], it["ns"], wo,
                          sp.next2(), mode=mode)
-        f_rev, pdf_rev_surf = eval_bsdf(scene.materials, it["mat"], it["n"], bs.wi, wo)
+        f_rev, pdf_rev_surf = eval_bsdf(scene.materials, it["mat"], it["ns"],
+                                        bs.wi, wo)
         del f_rev
         pdf_rev_dir = jnp.where(is_med, pdf_phase,
                                 jnp.where(bs.specular, 0.0, pdf_rev_surf))
@@ -341,7 +351,9 @@ def _random_walk(scene: Scene, sp: PathSampler, o, d, beta, pdf_dir, medium,
         connectible = jnp.where(is_med, True, _surface_connectible(scene, it["mat"]))
 
         vert = VertexB(
-            valid=valid, vtype=vtype, p=p_new, n=jnp.where(is_surf[:, None], it["n"], 0.0),
+            valid=valid, vtype=vtype, p=p_new,
+            n=jnp.where(is_surf[:, None], it["n"], 0.0),
+            ns=jnp.where(is_surf[:, None], it["ns"], 0.0),
             beta=jnp.where(valid[:, None], beta, 0.0),
             pdf_fwd=jnp.where(valid, pdf_fwd_area, 0.0),
             pdf_rev=jnp.zeros((R,)),
@@ -378,11 +390,19 @@ def _random_walk(scene: Scene, sp: PathSampler, o, d, beta, pdf_dir, medium,
             is_surf & (dot(bs.wi, it["n"]) > 0.0), it["med_out"],
             jnp.where(is_surf, it["med_in"], it["med"]),
         )
+        # beta *= f |wi.ns| / pdf (bdpt.cpp:199), then CorrectShadingNormal
+        # in importance transport (bdpt.cpp:206, factor at :55-66)
         beta_scale = jnp.where(
             is_surf & bs.valid & (bs.pdf > 0.0),
-            absdot(bs.wi, it["n"]) / jnp.where(bs.pdf > 0.0, bs.pdf, 1.0),
+            absdot(bs.wi, it["ns"]) / jnp.where(bs.pdf > 0.0, bs.pdf, 1.0),
             1.0,
         )
+        if mode == MODE_IMPORTANCE:
+            csn_num = absdot(wo, it["ns"]) * absdot(bs.wi, it["n"])
+            csn_den = jnp.maximum(
+                absdot(wo, it["n"]) * absdot(bs.wi, it["ns"]), 1e-12)
+            beta_scale = beta_scale * jnp.where(
+                is_surf & bs.valid & (bs.pdf > 0.0), csn_num / csn_den, 1.0)
         beta = jnp.where(
             is_surf[:, None],
             beta * bs.f * beta_scale[:, None],
@@ -429,7 +449,7 @@ def _generate_light_subpath(scene, sp: PathSampler, R, maxdepth, pmf):
     light_v = _empty_vertex(R)._replace(
         valid=ok,
         vtype=jnp.full((R,), VT_LIGHT, jnp.int32),
-        p=ls.o, n=ls.n_light,
+        p=ls.o, n=ls.n_light, ns=ls.n_light,
         beta=ls.Le,
         pdf_fwd=ls.pdf_pos * pdf_choice,
         connectible=ok & ~_is_delta_direction(scene, light_idx),
@@ -461,9 +481,16 @@ def _is_delta_direction(scene: Scene, light_idx):
 # --------------------------------------------------------------------------
 
 def _vertex_f(scene, v: VertexB, to_p, mode=MODE_RADIANCE):
-    """Vertex::f (bdpt.h:224-238): BSDF or phase toward to_p."""
+    """Vertex::f (bdpt.h:224-238): BSDF or phase toward to_p; importance
+    transport applies CorrectShadingNormal (bdpt.h:231, factor at
+    bdpt.cpp:55-66)."""
     wi = normalize(to_p - v.p)
-    f_s, _ = eval_bsdf(scene.materials, v.mat, v.n, v.wo, wi)
+    f_s, _ = eval_bsdf(scene.materials, v.mat, v.ns, v.wo, wi)
+    if mode == MODE_IMPORTANCE:
+        csn_num = absdot(v.wo, v.ns) * absdot(wi, v.n)
+        csn_den = jnp.maximum(absdot(v.wo, v.n) * absdot(wi, v.ns), 1e-12)
+        on_surf = jnp.sum(jnp.abs(v.n), -1) > 0.0
+        f_s = f_s * jnp.where(on_surf, csn_num / csn_den, 1.0)[:, None]
     _, _, g_here, _, _ = gather_medium(scene.media, v.med)
     f_m = hg_p(v.wo, wi, g_here)[:, None] * jnp.ones((1, 3))
     return jnp.where((v.vtype == VT_MEDIUM)[:, None], f_m, f_s)
@@ -476,8 +503,8 @@ def _vertex_pdf(scene, camera, width, height, v: VertexB, prev_p, has_prev,
     wn = normalize(nxt_p - v.p)
     wp = normalize(prev_p - v.p)
 
-    # surface BSDF pdf / medium phase pdf
-    _, pdf_surf = eval_bsdf(scene.materials, v.mat, v.n, wp, wn)
+    # surface BSDF pdf / medium phase pdf (shading frame, BSDF::Pdf)
+    _, pdf_surf = eval_bsdf(scene.materials, v.mat, v.ns, wp, wn)
     _, _, g_here, _, _ = gather_medium(scene.media, v.med)
     pdf_med = hg_p(wp, wn, g_here)
     # camera
@@ -640,8 +667,10 @@ def _g_term(scene, va: VertexB, vb: VertexB, tr_crossings: int = 0):
     g = 1.0 / d2
     a_surf = jnp.sum(jnp.abs(va.n), -1) > 0.0
     b_surf = jnp.sum(jnp.abs(vb.n), -1) > 0.0
-    g = g * jnp.where(a_surf, jnp.abs(dot(va.n, wn)), 1.0)
-    g = g * jnp.where(b_surf, jnp.abs(dot(vb.n, wn)), 1.0)
+    # cosines on the SHADING normals (bdpt.cpp:222-223 uses ns()); the ray
+    # offset stays on the geometric normal (Hit contract)
+    g = g * jnp.where(a_surf, jnp.abs(dot(va.ns, wn)), 1.0)
+    g = g * jnp.where(b_surf, jnp.abs(dot(vb.ns, wn)), 1.0)
     o = jnp.where(a_surf[:, None], offset_ray_origin(va.p, va.n, wn), va.p)
     t_shadow = dist * (1.0 - 1e-3)
     occluded = intersect_p(scene, o, wn, t_shadow)
@@ -682,7 +711,7 @@ def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
         ok = qs.valid & qs.connectible & (pdf > 0.0)
         f = _vertex_f(scene, qs, qs.p + wi, MODE_IMPORTANCE)
         cos_q = jnp.where(jnp.sum(jnp.abs(qs.n), -1) > 0.0,
-                          jnp.abs(dot(qs.n, wi)), 1.0)
+                          jnp.abs(dot(qs.ns, wi)), 1.0)  # AbsDot(wi, qs.ns())
         o = jnp.where((jnp.sum(jnp.abs(qs.n), -1) > 0.0)[:, None],
                       offset_ray_origin(qs.p, qs.n, wi), qs.p)
         t_shadow = dist * (1.0 - 1e-3)
@@ -711,7 +740,7 @@ def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
         ok = pt.valid & pt.connectible & (ls.pdf > 0.0) & (pdf_choice > 0.0)
         f = _vertex_f(scene, pt, pt.p + ls.wi)
         cos_p = jnp.where(jnp.sum(jnp.abs(pt.n), -1) > 0.0,
-                          jnp.abs(dot(pt.n, ls.wi)), 1.0)
+                          jnp.abs(dot(pt.ns, ls.wi)), 1.0)  # AbsDot(wi, pt.ns())
         o = jnp.where((jnp.sum(jnp.abs(pt.n), -1) > 0.0)[:, None],
                       offset_ray_origin(pt.p, pt.n, ls.wi), pt.p)
         t_shadow = ls.dist * (1.0 - 1e-3)
@@ -725,7 +754,7 @@ def connect_bdpt(scene, camera, width, height, cam_vs, light_vs, s, t,
         # sampled light vertex for MIS (CreateLight with PdfLightOrigin)
         lv = _empty_vertex(R)._replace(
             valid=ok, vtype=jnp.full((R,), VT_LIGHT, jnp.int32),
-            p=ls.p_light, n=ls.n_light,
+            p=ls.p_light, n=ls.n_light, ns=ls.n_light,
             beta=ls.Li / jnp.maximum(denom, 1e-30)[:, None],
             light_idx=light_idx.astype(jnp.int32),
             connectible=ok,

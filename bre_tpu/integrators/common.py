@@ -75,7 +75,9 @@ def segment_transmittance_walk(scene: Scene, med_idx, o, d, t_end,
     remaining = t_end
 
     for _ in range(max_crossings + 1):
-        h = intersect(scene, o_cur, d)
+        # bound traversal at the remaining shadow-segment length: hits
+        # beyond it are irrelevant, and t_max lets the sweep cull early
+        h = intersect(scene, o_cur, d, t_max=remaining)
         t_hit = jnp.where(h.valid, jnp.minimum(h.t, remaining), remaining)
         tr = tr * segment_transmittance_det(scene, med, o_cur, d, t_hit)
         crossing = h.valid & (h.material < 0) & (h.t < remaining)

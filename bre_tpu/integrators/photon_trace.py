@@ -359,3 +359,279 @@ def trace_photon_beams_by_index(
     stats["n_beams"] = jnp.sum(beams.valid.astype(jnp.int32))
     stats["photon_paths"] = jnp.int32(P)
     return beams, stats
+
+
+# ---------------------------------------------------------------------------
+# Compat-faithful tracer: the reference's exact splitting walk
+# ---------------------------------------------------------------------------
+
+def _masked_f32(rng: PCG32State, mask):
+    """One UniformFloat draw, consumed only on lanes where ``mask`` is True —
+    lanes outside the mask keep their RNG state (the vectorized equivalent of
+    pbrt's *conditional* sampler calls, which is what keeps per-photon streams
+    aligned with the reference's control flow)."""
+    rng2, u = pcg32_next_f32(rng)
+    sel = lambda a, b: jnp.where(mask, a, b)
+    return PCG32State(*(sel(a, b) for a, b in zip(rng2, rng))), u
+
+
+def trace_photon_beams_compat(
+    scene: Scene,
+    light_distr: Distribution1D,
+    halton_index: jnp.ndarray,
+    max_depth: int,
+    beam_radius,
+    n_steps: int = 0,
+) -> Tuple[Beams, dict]:
+    """Reference-exact photon-beam walk for seed-matched image comparison.
+
+    Reproduces ``TracePhotonBeamRecursive`` (photonbeam.cpp:258-325)
+    *structurally*, quirks included:
+
+    - **Splitting**: a sampled medium interaction recurses into the phase-
+      scattered branch AND falls through to the surface continuation
+      (:274-304) — a deterministic-split estimator, not a linear walk.
+    - Beams span the FULL segment ``o -> isect.p`` with end power
+      ``Tr(full segment) * beta`` (:288-294) — including pure-VACUUM
+      segments (``photonRay.medium == nullptr`` => betaMedium = 1), which
+      the unnormalized compat gather kernel happily accumulates.
+    - The scatter branch restarts from the sampled point with
+      ``beta * Tr(full segment)`` (:287) — full-segment transmittance, not
+      attenuation to the scatter point, and no sigma_s / pdf factor.
+    - Null-material boundary hops keep ``beta`` UNattenuated (:300-303 —
+      betaMedium is simply dropped) and do not consume depth.
+    - RR at real surface bounces: ``q = max(0, 1 - y(betaNew)/y(beta))``,
+      continue with ``betaNew/(1-q)`` (:320-323).
+    - Sampler dims are consumed *conditionally* in the reference's
+      depth-first order (homogeneous Sample = 2, phase = 2, BSDF = 2,
+      RR = 1; Tr = 0), via masked PCG32 advancement, so per-photon streams
+      stay bit-aligned with ``AwesomeHaltonSampler(HaltonIndex+1)``
+      (photonbeam.cpp:389 — Halton dims 0..999 burned, PCG32 thereafter)
+      until a float-level decision flips.
+
+    The recursion becomes a per-lane explicit stack of suspended surface
+    continuations (capacity ``max_depth``), processed depth-first: each scan
+    step either *advances* the current branch one segment or *pops* the most
+    recent continuation.  Grid media are not supported here (ratio-tracking
+    Tr consumes data-dependent dim counts); homogeneous + vacuum only —
+    which covers BASELINE config 1.
+
+    Returns (beams, stats); ``stats["n_overflow_steps"]`` counts lanes still
+    live when ``n_steps`` ran out (no silent truncation).
+    """
+    P = halton_index.shape[0]
+    S = max(max_depth, 1)  # continuation stack capacity
+    if not n_steps:
+        n_steps = 4 * (max_depth + 1)
+    rng = pcg32_init(jnp.asarray(halton_index, jnp.uint32) + jnp.uint32(1))
+
+    # --- emission: 6 unconditional draws (photonbeam.cpp:394-407) ---
+    rng, u_light = pcg32_next_f32(rng)
+    light_num, light_pdf = sample_discrete(light_distr, u_light)
+    rng, a0 = pcg32_next_f32(rng)
+    rng, a1 = pcg32_next_f32(rng)
+    rng, b0 = pcg32_next_f32(rng)
+    rng, b1 = pcg32_next_f32(rng)
+    rng, _u_time = pcg32_next_f32(rng)
+    le = sample_le(scene, light_num, jnp.stack([a0, a1], -1), jnp.stack([b0, b1], -1))
+    denom = light_pdf * le.pdf_pos * le.pdf_dir
+    beta0 = (absdot(le.n_light, le.d) / jnp.maximum(denom, 1e-30))[:, None] * le.Le
+    alive0 = (denom > 0.0) & (jnp.sum(le.Le, -1) > 0.0)
+
+    zeros3 = jnp.zeros((P, 3))
+
+    state = dict(
+        rng=rng,
+        o=le.o,
+        d=le.d,
+        beta=jnp.where(alive0[:, None], beta0, 0.0),
+        medium=le.medium,
+        depth=jnp.zeros((P,), jnp.int32),
+        alive=alive0,
+        sp=jnp.zeros((P,), jnp.int32),
+        st_o=jnp.zeros((P, S, 3)),
+        st_d=jnp.zeros((P, S, 3)),
+        st_beta=jnp.zeros((P, S, 3)),
+        st_medium=jnp.zeros((P, S), jnp.int32),
+        st_depth=jnp.zeros((P, S), jnp.int32),
+    )
+
+    def step(state, _):
+        rng = state["rng"]
+        alive, sp = state["alive"], state["sp"]
+        is_pop = ~alive & (sp > 0)
+        top = sp - 1
+        sel_sl = (jnp.arange(S) == top[:, None])  # (P,S) one-hot of stack top
+
+        def from_stack(st, cur):
+            picked = jnp.sum(
+                jnp.where(
+                    sel_sl[..., None] if st.ndim == 3 else sel_sl,
+                    st, 0,
+                ).astype(st.dtype if st.dtype != jnp.bool_ else jnp.int32),
+                axis=1,
+            ).astype(cur.dtype)
+            m = is_pop[:, None] if cur.ndim == 2 else is_pop
+            return jnp.where(m, picked, cur)
+
+        o = from_stack(state["st_o"], state["o"])
+        d = from_stack(state["st_d"], state["d"])
+        beta = from_stack(state["st_beta"], state["beta"])
+        medium = from_stack(state["st_medium"], state["medium"])
+        depth = from_stack(state["st_depth"], state["depth"])
+        sp = jnp.where(is_pop, sp - 1, sp)
+
+        active = alive | is_pop
+        h = intersect(scene, o, d)
+        sigma_a, sigma_s, g_here, _is_grid, in_med = gather_medium(
+            scene.media, medium)
+        sigma_t = sigma_a + sigma_s
+        t_hit = jnp.where(h.valid, h.t, 0.0)
+        h_p = o + t_hit[:, None] * d
+        # full-segment transmittance (HomogeneousMedium::Tr, 0 sampler dims)
+        tr_full = jnp.where(
+            in_med[:, None], jnp.exp(-sigma_t * t_hit[:, None]), 1.0)
+
+        # --- advance lanes: Medium::Sample (2 dims, homogeneous.cpp:55-57) ---
+        adv = alive & active
+        do_sample = adv & h.valid & in_med
+        rng, u_ch = _masked_f32(rng, do_sample)
+        rng, u_t = _masked_f32(rng, do_sample)
+        channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
+        onehot = (channel[:, None] == jnp.arange(3)).astype(jnp.float32)
+        sig_c = jnp.sum(sigma_t * onehot, -1)
+        pos = sig_c > 1e-12
+        dist = -jnp.log(jnp.maximum(1.0 - u_t, 1e-38)) / jnp.where(pos, sig_c, 1.0)
+        black = jnp.sum(beta, -1) <= 0.0  # Spectrum::IsBlack (photonbeam.cpp:271)
+        scattered = do_sample & pos & (dist < t_hit) & ~black
+
+        # the segment beam (photonbeam.cpp:288-294): full span, Tr-weighted
+        # end power, stored for vacuum segments too; scattered segments store
+        # the identical beam at continuation time — emitting at push time is
+        # value-equivalent (Tr consumes no dims)
+        emit_beam = adv & h.valid & ~black
+        beam = dict(
+            start=o,
+            end=h_p,
+            power_start=zeros3,  # betaStart is zero-init'd (photonbeam.cpp:265)
+            power_end=beta * tr_full,
+            medium=medium,
+            valid=emit_beam,
+        )
+
+        # --- scatter branch: phase dims + push continuation ---
+        rng, p0 = _masked_f32(rng, scattered)
+        rng, p1 = _masked_f32(rng, scattered)
+        wi_phase, _ = hg_sample_p(-d, g_here, jnp.stack([p0, p1], -1))
+        push = scattered
+        new_sp = jnp.where(push, sp + 1, sp)
+        push_sl = (jnp.arange(S) == sp[:, None]) & push[:, None]  # (P,S)
+
+        def pushed(st, val):
+            if st.ndim == 3:
+                return jnp.where(push_sl[..., None], val[:, None, :], st)
+            return jnp.where(push_sl, val[:, None], st)
+
+        st_o = pushed(state["st_o"], o)
+        st_d = pushed(state["st_d"], d)
+        st_beta = pushed(state["st_beta"], beta)
+        st_medium = pushed(state["st_medium"], medium)
+        st_depth = pushed(state["st_depth"], depth)
+
+        # --- surface continuation: advance-nonscattered lanes do it NOW,
+        # pop lanes resume it (photonbeam.cpp:289-324) ---
+        surf_proc = active & h.valid & ~black & ~scattered
+        is_null = h.material < 0
+        hop = surf_proc & is_null  # --depth, beta UNCHANGED (:300-303)
+        entering = dot(d, h.n) < 0.0
+        medium_after_hop = jnp.where(entering, h.medium_inside, h.medium_outside)
+
+        real = surf_proc & ~is_null
+        rng, s0 = _masked_f32(rng, real)
+        rng, s1 = _masked_f32(rng, real)
+        bs = sample_bsdf(
+            scene.materials, h.material, h.ns, -d, jnp.stack([s0, s1], -1),
+            mode=MODE_IMPORTANCE, tangent=h.tangent,
+        )
+        # literal mirror of `if (fr.IsBlack() || pdf == 0.f) break;` (:314) —
+        # the RR dim below is consumed exactly when this passes
+        fr_ok = real & (bs.pdf > 0.0) & (jnp.sum(bs.f, -1) > 0.0)
+        beta_new = (
+            tr_full * beta * bs.f
+            * (absdot(bs.wi, h.ns) / jnp.where(fr_ok, bs.pdf, 1.0))[:, None]
+        )
+        # RR (photonbeam.cpp:320-323): dim consumed only when fr/pdf valid
+        rng, u_rr = _masked_f32(rng, fr_ok)
+        y_old = luminance(beta)
+        y_ok = y_old > 0.0
+        q = jnp.maximum(
+            0.0,
+            1.0 - luminance(beta_new) / jnp.where(y_ok, y_old, 1.0),
+        )
+        q = jnp.where(y_ok, q, 0.0)
+        rr_killed = fr_ok & (u_rr < q)
+        bounce = fr_ok & ~rr_killed
+        beta_bounce = beta_new / jnp.maximum(1.0 - q, 1e-30)[:, None]
+        leaving = dot(bs.wi, h.n) > 0.0
+        medium_after_bounce = jnp.where(leaving, h.medium_outside, h.medium_inside)
+
+        # --- select next current branch ---
+        new_o = jnp.where(
+            scattered[:, None],
+            o + dist[:, None] * d,  # mi.p (no offset: medium point)
+            jnp.where(
+                hop[:, None],
+                offset_ray_origin(h_p, h.n, d),
+                offset_ray_origin(h_p, h.n, bs.wi),
+            ),
+        )
+        new_d = jnp.where(
+            scattered[:, None], wi_phase, jnp.where(hop[:, None], d, bs.wi))
+        new_beta = jnp.where(
+            scattered[:, None],
+            beta * tr_full,  # photonbeam.cpp:287 (full-segment Tr quirk)
+            jnp.where(hop[:, None], beta, beta_bounce),
+        )
+        new_medium = jnp.where(
+            scattered, medium,
+            jnp.where(hop, medium_after_hop, medium_after_bounce))
+        new_depth = depth + jnp.where(scattered | bounce, 1, 0)
+        new_alive = (
+            (scattered | hop | bounce)
+            & jnp.where(hop, True, new_depth < max_depth)
+        )
+
+        stats = dict(
+            n_medium_scatter=jnp.sum(scattered.astype(jnp.int32)),
+            n_surface=jnp.sum(surf_proc.astype(jnp.int32)),
+        )
+        out = dict(
+            rng=rng, o=new_o, d=new_d, beta=new_beta, medium=new_medium,
+            depth=new_depth, alive=new_alive, sp=new_sp,
+            st_o=st_o, st_d=st_d, st_beta=st_beta,
+            st_medium=st_medium, st_depth=st_depth,
+        )
+        return out, (beam, stats)
+
+    final, (beams_steps, stats_steps) = jax.lax.scan(
+        step, state, None, length=n_steps)
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    B = P * n_steps
+    beams = Beams(
+        start=flat(beams_steps["start"]),
+        end=flat(beams_steps["end"]),
+        power_start=flat(beams_steps["power_start"]),
+        power_end=flat(beams_steps["power_end"]),
+        radius=jnp.full((B,), beam_radius, jnp.float32),
+        medium=flat(beams_steps["medium"]),
+        valid=flat(beams_steps["valid"]),
+    )
+    stats = {k: jnp.sum(v) for k, v in stats_steps.items()}
+    stats["n_beams"] = jnp.sum(beams.valid.astype(jnp.int32))
+    stats["photon_paths"] = jnp.int32(P)
+    stats["n_overflow_steps"] = jnp.sum(
+        (final["alive"] | (final["sp"] > 0)).astype(jnp.int32))
+    return beams, stats

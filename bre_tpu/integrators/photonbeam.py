@@ -212,7 +212,13 @@ def camera_pass_by_pixels(
         tr_seg = segment_transmittance_det(scene, medium, o, d, t_seg)
 
         if cfg.rendermedia:
-            seg_valid = alive & h.valid & (medium >= 0)
+            # the reference gathers on EVERY intersected segment, in medium
+            # or not (photonbeam.cpp:494 — no ray.medium gate); the physical
+            # kernel's contributions vanish outside media anyway, so the
+            # medium gate is kept there as a sweep-skipping optimization
+            seg_valid = alive & h.valid
+            if kern != KERNEL_COMPAT:
+                seg_valid = seg_valid & (medium >= 0)
             if use_lbvh:
                 # pad segments to a tile multiple with dead segments
                 tile = cfg.tile
@@ -392,7 +398,11 @@ def camera_pass_by_pixels(
         # Russian roulette (photonbeam.cpp:549-554)
         rng, u_rr = pcg32_next_f32(rng)
         y = luminance(new_beta)
-        do_rr = new_alive & (y < 0.25) & ~is_boundary
+        do_rr = new_alive & (y < 0.25)
+        if kern != KERNEL_COMPAT:
+            # (compat: the reference rolls RR after boundary hops too,
+            # photonbeam.cpp:549 runs on every loop iteration)
+            do_rr = do_rr & ~is_boundary
         cont_prob = jnp.minimum(1.0, y)
         killed = do_rr & (u_rr > cont_prob)
         keep = do_rr & ~killed & (cont_prob > 1e-6)
@@ -420,7 +430,14 @@ def camera_pass_by_pixels(
     # custom-VJP memory bound by saving per-chunk internals across steps;
     # unrolling keeps each depth step's gather opaque to AD.  Depth counts
     # are small (<=10), so compile-time cost is modest.
-    for _depth in range(cfg.maxdepth + 2):
+    # Reference depth bookkeeping frees null-boundary hops (--depth,
+    # photonbeam.cpp:515-517): compat budgets up to two hops per real bounce
+    # (enter/exit a bounded medium) so deep camera paths match; the physical
+    # kernel keeps the cheaper +2 slack (beam term is beta-weighted there, so
+    # deep-step contributions decay — compat's raw kernel sum does not).
+    n_cam_steps = (3 * cfg.maxdepth + 2 if kern == KERNEL_COMPAT
+                   else cfg.maxdepth + 2)
+    for _depth in range(n_cam_steps):
         state, _ = step(state, None)
     stats = dict(camera_rays=jnp.int32(R))
     return state["Ld"], stats
@@ -472,15 +489,27 @@ def render_photonbeam(
 
     @jax.jit
     def one_iteration(iter_idx, radius):
-        beams, tstats = trace_photon_beams(
-            scene, light_distr, iter_idx, photons, cfg.maxdepth, radius,
-            # grad_geometry=False callers fit medium params: pair the camera
-            # side's stop-gradient geometry with detached photon sampling
-            detach_sampling=not cfg.grad_geometry,
-            # normalized BRE needs long beams (analytic decay); compat
-            # reproduces the reference's scatter-truncated segments
-            long_beams=cfg.kernel != "compat",
-        )
+        if cfg.kernel == "compat":
+            # reference-exact splitting walk, vacuum beams included
+            # (TracePhotonBeamRecursive, photonbeam.cpp:258-325)
+            from .photon_trace import trace_photon_beams_compat
+
+            photon_idx = jnp.arange(photons, dtype=jnp.uint32)
+            beams, tstats = trace_photon_beams_compat(
+                scene, light_distr,
+                jnp.uint32(iter_idx) * jnp.uint32(photons) + photon_idx,
+                cfg.maxdepth, radius,
+            )
+        else:
+            beams, tstats = trace_photon_beams(
+                scene, light_distr, iter_idx, photons, cfg.maxdepth, radius,
+                # grad_geometry=False callers fit medium params: pair the
+                # camera side's stop-gradient geometry with detached photon
+                # sampling
+                detach_sampling=not cfg.grad_geometry,
+                # the normalized BRE needs long beams (analytic decay)
+                long_beams=True,
+            )
         Ld, cstats = camera_pass(
             scene, camera, width, height, beams, radius, iter_idx, cfg,
             photons_per_iter=photons,

@@ -153,8 +153,13 @@ def shoot_photons(scene: Scene, cfg: PhotonMapConfig, seed: int = 0):
         bs = sample_bsdf(scene.materials, h.material, h.ns, -d,
                          jnp.stack([s0, s1], -1), mode=MODE_IMPORTANCE)
         pdf_ok = bs.pdf > 1e-12
+        # CorrectShadingNormal for importance transport (bdpt.h:68-86; same
+        # treatment as photon_trace.py) — 1 on faceted meshes (ns == n)
+        csn_num = absdot(-d, h.ns) * absdot(bs.wi, h.n)
+        csn_den = jnp.maximum(absdot(-d, h.n) * absdot(bs.wi, h.ns), 1e-12)
+        csn = jnp.where(pdf_ok, csn_num / csn_den, 1.0)
         beta_surf = (beta * jnp.where(pdf_ok[:, None], bs.f, 0.0)
-                     * jnp.where(pdf_ok, absdot(bs.wi, h.ns)
+                     * jnp.where(pdf_ok, csn * absdot(bs.wi, h.ns)
                                  / jnp.where(pdf_ok, bs.pdf, 1.0), 0.0)[:, None])
         entering = dot(d, h.n) < 0.0
         med_b = jnp.where(entering, h.medium_inside, h.medium_outside)

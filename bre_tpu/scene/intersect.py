@@ -424,8 +424,12 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
                             scene.triangles.tangent[best_idx], tangent)
 
     # shading normal: barycentric vertex-normal interpolation where the
-    # mesh carries normals (triangle.cpp shading geometry); oriented into
-    # the geometric normal's hemisphere so sidedness tests stay consistent
+    # mesh carries normals (triangle.cpp shading geometry).  The AUTHORED
+    # shading-normal orientation is kept, and the geometric normal is
+    # forward-faced into its hemisphere — reference semantics
+    # (Triangle::Intersect: `isect->n = Faceforward(isect->n, ns)` when the
+    # mesh has per-vertex normals), so meshes authored with inward normals
+    # keep their sidedness.
     ns = n
     if scene.n_triangles > 0 and scene.triangles.n0.shape[0]:
         vn0 = scene.triangles.n0[best_idx]
@@ -436,10 +440,10 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         ns_t = ((1.0 - b1v - b2v)[:, None] * vn0
                 + b1v[:, None] * vn1 + b2v[:, None] * vn2)
         ns_t = normalize(ns_t)
-        flip = jnp.where(jnp.sum(ns_t * n, -1) < 0.0, -1.0, 1.0)
-        ns = jnp.where(
-            ((best_kind == SHAPE_TRIANGLE) & has_vn)[:, None],
-            ns_t * flip[:, None], ns)
+        use_vn = (best_kind == SHAPE_TRIANGLE) & has_vn
+        flip_n = jnp.where(jnp.sum(ns_t * n, -1) < 0.0, -1.0, 1.0)
+        n = jnp.where(use_vn[:, None], n * flip_n[:, None], n)
+        ns = jnp.where(use_vn[:, None], ns_t, ns)
 
     return Hit(
         valid=valid,

@@ -426,8 +426,10 @@ def eval_texture(tex: Textures, tex_idx: jnp.ndarray, p: jnp.ndarray,
 
     def value(ti, pp, uvv, dx, dy, level):
         # Children of both slots are batched into ONE recursive call per
-        # level (lanes double, traces stay linear in depth), so a depth-D
-        # graph costs D+1 traced passes, and a flat table exactly one.
+        # level, so a depth-D graph costs D+1 traced passes — but lanes
+        # double at each level (R * 2^D at the base).  Fine for the shallow
+        # graphs the builder emits (depth <= 3); a deeper-graph scene would
+        # want per-level child deduplication to bound lane growth.
         tt = tex.ttype[ti]
         if level > 0:
             n = ti.shape[0]
