@@ -57,16 +57,19 @@ PALLAS_TILE = 2048
 _MAX_BLOCK_PAIRS = 2048 * 256
 
 
-def _pallas_tile(chunk: int = 256, heavy: bool = False) -> int:
+def _pallas_tile(chunk: int = 256, heavy: bool = False,
+                 hetero: bool = False) -> int:
     """Ray-tile width for the Pallas gather kernels.  ``heavy`` halves the
     pair budget — the fused backward with grad_extras=True keeps extra (C,T)
     intermediates (radius/g cotangent products) live and OOMs VMEM at the
-    full 2048 x 256 block."""
+    full 2048 x 256 block.  ``hetero`` quarters it — the K-node tau loops
+    hold many more live (C,T) temporaries (measured: 41 MB scoped VMEM at
+    2048x256 on the 512^2 spec run, 16 MB limit)."""
     import jax as _jax
 
     if _jax.default_backend() != "tpu":
         return 256  # interpret mode: avoid padding waste on tiny tests
-    budget = _MAX_BLOCK_PAIRS // (2 if heavy else 1)
+    budget = _MAX_BLOCK_PAIRS // (2 if heavy else 1) // (4 if hetero else 1)
     tile = min(PALLAS_TILE, max(1, budget // max(chunk, 1)))
     return max(256, (tile // 256) * 256)
 
@@ -484,7 +487,7 @@ def _pallas_forward(cfg, pb, seg):
     chunk = _effective_chunk(chunk, pb["radius"].shape[0])
     pb, seg = _fold_kernel_inputs(pb, seg, power_scale)
     R = seg["a0"].shape[0]
-    tile = _pallas_tile(chunk)
+    tile = _pallas_tile(chunk, hetero="tau_cam_nodes" in seg)
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {
@@ -640,6 +643,7 @@ def gather_beams_bruteforce(
     assume_compacted: bool = False,
     hetero: bool = False,
     beams_medium: jnp.ndarray | None = None,
+    het_k: int = HETERO_NODES,
 ) -> jnp.ndarray:
     """Accumulate beam radiance onto R camera segments. Returns (R,3).
 
@@ -705,9 +709,11 @@ def gather_beams_bruteforce(
     )
     if hetero and kernel == KERNEL_BRE:
         bm = beams_medium if beams_medium is not None else beams.medium
-        taud_b, _ = medium_interval_nodes(media, bm, beams.start, beams.end)
+        taud_b, _ = medium_interval_nodes(media, bm, beams.start, beams.end,
+                                          K=het_k)
         pb["tau_nodes"] = pad(taud_b)
-        taud_c, dens_c = medium_interval_nodes(media, seg_medium, seg_a0, seg_a1)
+        taud_c, dens_c = medium_interval_nodes(media, seg_medium, seg_a0,
+                                               seg_a1, K=het_k)
         seg["tau_cam_nodes"] = taud_c
         seg["dens_cam_nodes"] = dens_c
         # Pallas forward carries the node tables (NF_HET/NB_HET layouts);
@@ -716,7 +722,8 @@ def gather_beams_bruteforce(
         # density grid and sigmas
     cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale),
            float(min_sin_theta), bool(grad_geometry), bool(grad_extras))
-    if backend == "pallas" and kernel == KERNEL_BRE:
+    if (backend == "pallas" and kernel == KERNEL_BRE
+            and het_k == HETERO_NODES):  # Pallas layouts bake K=8 (HET_K)
         return _gather_core_pallas(cfg, pb, seg)
     return _gather_core(cfg, pb, seg)
 
@@ -953,11 +960,16 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
     return pb, seg
 
 
+# Heterogeneous fused-Pallas backward switch (round-3): False falls back to
+# the XLA chunk-recompute path below (kept for A/B validation).
+PALLAS_BWD_HETERO = True
+
+
 def _packed_bwd_hetero(cfg, res, ct):
-    """Heterogeneous packed backward: unpack to dicts and differentiate
-    through the XLA chunk-recompute core (bounded memory); the fused Pallas
-    backward kernel carries no node tables.  cam_radius cotangent is
-    dropped (progressive schedule, not optimized — grad_extras semantics)."""
+    """Heterogeneous packed backward, XLA fallback: unpack to dicts and
+    differentiate through the XLA chunk-recompute core (bounded memory).
+    cam_radius cotangent is dropped (progressive schedule, not optimized —
+    grad_extras semantics)."""
     chunk, tile, power_scale, min_sin, grad_extras = cfg[:5]
     beams_packed, rays_packed, scal = res
     n_chunks = beams_packed.shape[0]
@@ -991,7 +1003,8 @@ def _packed_bwd(cfg, res, ct):
 
     chunk, tile, power_scale, min_sin, grad_extras = cfg[:5]
     beams_packed, rays_packed, scal = res
-    if beams_packed.shape[2] > _NB:  # hetero: XLA recompute backward
+    hetero = beams_packed.shape[2] > _NB
+    if hetero and not (PALLAS_BWD_ENABLED and PALLAS_BWD_HETERO):
         return _packed_bwd_hetero(cfg, res, ct)
     n_tiles = rays_packed.shape[0]
     ct_packed = jnp.concatenate(
@@ -1006,6 +1019,28 @@ def _packed_bwd(cfg, res, ct):
         rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
         want_extras=grad_extras, block_mask=scal.get("block_mask"))
     d_rays = jnp.zeros_like(rays_packed)
+    if hetero:
+        # hetero rows: sigma_s + camera tau/density node tables + g
+        # (DR_TR rows are identically zero — transmittance rides the taus)
+        from ..ops.pallas_gather import RF_DENSC, RF_TAUC
+        from ..ops.pallas_gather_bwd import DR_DENS, DR_TAUC
+
+        d_rays = d_rays.at[:, RF_SIGS:RF_SIGS + 3, :].set(
+            d_rays8[:, DR_SIGS:DR_SIGS + 3, :])
+        d_rays = d_rays.at[:, RF_TAUC:RF_TAUC + 24, :].set(
+            d_rays8[:, DR_TAUC:DR_TAUC + 24, :])
+        d_rays = d_rays.at[:, RF_DENSC:RF_DENSC + 8, :].set(
+            d_rays8[:, DR_DENS:DR_DENS + 8, :])
+        d_rays = d_rays.at[:, RF_G:RF_G + 1, :].set(
+            d_rays8[:, DR_G:DR_G + 1, :])
+        d_scal = dict(
+            cam_radius=(jnp.sum(d_rays8[:, DR_CAMR]) if grad_extras
+                        else jnp.zeros(())),
+            n_valid=jnp.zeros(()),
+        )
+        if "block_mask" in scal:
+            d_scal["block_mask"] = jnp.zeros_like(scal["block_mask"])
+        return d_beams, d_rays, d_scal
     d_rays = d_rays.at[:, RF_TR:RF_TR + 3, :].set(d_rays8[:, DR_TR:DR_TR + 3, :])
     d_rays = d_rays.at[:, RF_SIGS:RF_SIGS + 3, :].set(
         d_rays8[:, DR_SIGS:DR_SIGS + 3, :])
@@ -1076,7 +1111,8 @@ def gather_beams_packed(
         seg["tau_cam_nodes"] = taud_c
         seg["dens_cam_nodes"] = dens_c
     tile = (256 if sparse_cap > 0
-            else _pallas_tile(min(chunk, 256), heavy=grad_extras))
+            else _pallas_tile(min(chunk, 256), heavy=grad_extras,
+                              hetero=hetero))
     # Small compacted-ray budgets (photonbeam's post-bounce tiers) must not
     # pad to the full 2048 tile — a 102-ray step would sweep 95% dead lanes
     # against every live beam chunk.  Cap the tile at the 256-multiple

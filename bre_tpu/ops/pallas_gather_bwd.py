@@ -33,16 +33,22 @@ from .pallas_gather import (
     BF_PE,
     BF_PS,
     BF_RAD,
+    BF_TAU,
     BF_VALID,
+    HET_K,
     NB,
+    NB_HET,
     NF,
+    NF_HET,
     RF_A0,
     RF_A1,
+    RF_DENSC,
     RF_DIR,
     RF_G,
     RF_INMED,
     RF_LEN,
     RF_SIGS,
+    RF_TAUC,
     RF_TR,
 )
 
@@ -51,6 +57,12 @@ DR_TR = 0  # d tr_full rgb rows 0..2
 DR_SIGS = 3  # d sigma_s rgb rows 3..5
 DR_G = 6
 DR_CAMR = 7  # per-ray partial of d cam_radius
+# heterogeneous extension rows (n_tiles, NDR_HET, T): camera-side node
+# cotangents follow the homogeneous 8 (DR_TR rows stay zero — hetero
+# transmittance lives in the tau tables)
+DR_TAUC = 8             # 24 rows: DR_TAUC + ch*HET_K + k
+DR_DENS = DR_TAUC + 24  # 8 rows: d dens_cam_nodes[k]
+NDR_HET = 40
 
 
 def _pair_quantities(scalars_ref, rays_ref, beams_ref):
@@ -213,8 +225,88 @@ def _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
     drays_ref[pl.ds(i, 1)] = drays_ref[pl.ds(i, 1)] + upd[None]
 
 
+def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
+                        dbeams_ref, drays_ref, i, want_extras):
+    """Heterogeneous-media fused backward body: cotangents for beam powers
+    (start only — hetero decay rides the tau tables), per-beam tau nodes,
+    camera tau nodes, camera density nodes, sigma_s, and (extras) radii/g.
+    Mirrors the hetero branch of pallas_gather._pair_block_update with the
+    geometry stop-gradient (grad_geometry=False)."""
+    q = _pair_quantities(scalars_ref, rays_ref, beams_ref)
+    r_row, b_col = q["r_row"], q["b_col"]
+    w0 = q["base"] * q["rho"] * q["k1"]  # (C,T)
+    if want_extras:
+        wrad = q["base"] * q["rho"] * q["dk1_dw"]
+        wg = q["base"] * q["k1"] * q["drho_dg"]
+    frac_b, frac_c = q["frac_b"], q["frac_c"]
+    fb = frac_b * HET_K
+    fc = frac_c * HET_K
+
+    # camera node density (hat weights recomputed inline where needed —
+    # keeping 8 (C,T) hat tiles live would blow VMEM at large ray tiles)
+    x = jnp.clip(frac_c * HET_K, 0.5, HET_K - 0.5) - 0.5  # (C,T)
+    hat = lambda k: jnp.clip(1.0 - jnp.abs(x - k), 0.0, 1.0)
+    dens_c = jnp.zeros_like(frac_c)
+    for k in range(HET_K):
+        dens_c = dens_c + r_row(RF_DENSC + k) * hat(k)
+
+    T = frac_b.shape[1]
+    C = frac_b.shape[0]
+    d_sig_rows = []
+    d_tauc_rows = [None] * 24
+    d_g = jnp.zeros((1, T), jnp.float32)
+    d_camr = jnp.zeros((1, T), jnp.float32)
+    d_rad = jnp.zeros((C, 1), jnp.float32)
+    cw_sum = jnp.zeros_like(frac_b)  # sum_ch ct*w0*pt*sig (for dens nodes)
+    for ch in range(3):
+        ct_ch = ct_ref[0, ch : ch + 1, :]  # (1,T)
+        sig = r_row(RF_SIGS + ch)
+        ps = b_col(BF_PS + ch)
+        tau = jnp.zeros_like(frac_b)
+        for k in range(HET_K):
+            tau = tau + b_col(BF_TAU + ch * HET_K + k) * jnp.clip(
+                fb - k, 0.0, 1.0)
+            tau = tau + r_row(RF_TAUC + ch * HET_K + k) * jnp.clip(
+                fc - k, 0.0, 1.0)
+        decay = jnp.exp(-tau)
+        pt = ps * decay  # (C,T)
+
+        # cB = d contrib / d ps ; cA = ct * contrib (pair weight)
+        cB = ct_ch * (w0 * sig * dens_c) * decay
+        cA = cB * ps
+        dbeams_ref[0, :, BF_PS + ch : BF_PS + ch + 1] += jnp.sum(
+            cB, 1, keepdims=True)
+        # tau cotangents: d contrib / d tau_node = -cA * clip(f - k, 0, 1)
+        for k in range(HET_K):
+            dbeams_ref[0, :, BF_TAU + ch * HET_K + k :
+                       BF_TAU + ch * HET_K + k + 1] += jnp.sum(
+                -cA * jnp.clip(fb - k, 0.0, 1.0), 1, keepdims=True)
+            d_tauc_rows[ch * HET_K + k] = jnp.sum(
+                -cA * jnp.clip(fc - k, 0.0, 1.0), 0, keepdims=True)
+        d_sig_rows.append(ct_ch * jnp.sum(w0 * pt * dens_c, 0, keepdims=True))
+        cw_sum = cw_sum + ct_ch * (w0 * sig) * pt
+        if want_extras:
+            prod_rad = ct_ch * wrad * pt * sig * dens_c
+            d_rad = d_rad + jnp.sum(prod_rad, 1, keepdims=True)
+            d_g = d_g + jnp.sum(ct_ch * wg * pt * sig * dens_c, 0,
+                                keepdims=True)
+            d_camr = d_camr + jnp.sum(prod_rad, 0, keepdims=True)
+    if want_extras:
+        dbeams_ref[0, :, BF_RAD : BF_RAD + 1] += d_rad
+    d_dens_rows = [jnp.sum(cw_sum * hat(k), 0, keepdims=True)
+                   for k in range(HET_K)]
+    zrow = jnp.zeros((1, T), jnp.float32)
+    # row layout (NDR_HET): [zeros(3) DR_TR] [d_sigs(3)] [d_g] [d_camr]
+    #                       [d_tauc(24)] [d_dens(8)]
+    upd = jnp.concatenate(
+        [zrow, zrow, zrow] + d_sig_rows + [d_g, d_camr]
+        + d_tauc_rows + d_dens_rows, axis=0)  # (NDR_HET, T)
+    drays_ref[pl.ds(i, 1)] = drays_ref[pl.ds(i, 1)] + upd[None]
+
+
 def _bwd_fused_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, ct_ref,
-                      dbeams_ref, drays_ref, *, chunk, want_extras=True):
+                      dbeams_ref, drays_ref, *, chunk, want_extras=True,
+                      hetero=False):
     j = pl.program_id(0)  # beam chunk (outer)
     i = pl.program_id(1)  # ray tile (inner)
 
@@ -232,8 +324,9 @@ def _bwd_fused_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, ct_ref,
     # skipped blocks have no in-range pair, so both cotangent sets are 0)
     @pl.when((jnp.float32(j * chunk) < n_valid) & (mask_ref[j % 8, i] > 0))
     def _():
-        _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
-                        dbeams_ref, drays_ref, i, want_extras)
+        body = _bwd_fused_body_het if hetero else _bwd_fused_body
+        body(scalars_ref, rays_ref, beams_ref, ct_ref,
+             dbeams_ref, drays_ref, i, want_extras)
 
 
 def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
@@ -254,6 +347,14 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
 
     n_tiles = rays_packed.shape[0]
     n_chunks = beams_packed.shape[0]
+    nf = rays_packed.shape[1]
+    nb = beams_packed.shape[2]
+    hetero = nf == NF_HET
+    ndr = NDR_HET if hetero else 8
+    if hetero:
+        # (g_tiles, 40, T) resident d_rays block + heavier per-pair temps:
+        # shrink the group so VMEM holds it
+        group_tiles = min(group_tiles, 16)
     interpret = jax.default_backend() != "tpu"
     if block_mask is None:
         block_mask = jnp.ones((n_chunks, n_tiles), jnp.float32)
@@ -266,7 +367,8 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
     def run_group(rp, cp, mk):
         g_tiles = rp.shape[0]
         return pl.pallas_call(
-            partial(_bwd_fused_kernel, chunk=chunk, want_extras=want_extras),
+            partial(_bwd_fused_kernel, chunk=chunk, want_extras=want_extras,
+                    hetero=hetero),
             grid=(n_chunks, g_tiles),
             in_specs=[
                 pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
@@ -274,22 +376,22 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
                 # overflows 1 MB at spec scale; see pallas_gather.py)
                 pl.BlockSpec((8, g_tiles), lambda j, i: (j // 8, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0),
+                pl.BlockSpec((1, nf, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0),
+                pl.BlockSpec((1, chunk, nb), lambda j, i: (j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0),
+                pl.BlockSpec((1, chunk, nb), lambda j, i: (j, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((g_tiles, 8, tile), lambda j, i: (0, 0, 0),
+                pl.BlockSpec((g_tiles, ndr, tile), lambda j, i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n_chunks, chunk, NB), jnp.float32),
-                jax.ShapeDtypeStruct((g_tiles, 8, tile), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks, chunk, nb), jnp.float32),
+                jax.ShapeDtypeStruct((g_tiles, ndr, tile), jnp.float32),
             ],
             interpret=interpret,
         )(scalars4, mk, rp, beams_packed, cp)
@@ -298,7 +400,7 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
         d_beams, d_rays = run_group(rays_packed, ct_packed, block_mask)
         return d_rays, d_beams
 
-    d_beams_total = jnp.zeros((n_chunks, chunk, NB), jnp.float32)
+    d_beams_total = jnp.zeros((n_chunks, chunk, nb), jnp.float32)
     d_rays_parts = []
     for s in range(0, n_tiles, group_tiles):
         e = min(s + group_tiles, n_tiles)

@@ -524,19 +524,33 @@ class SceneBuilder:
                 self.triangle(p00, p11, p01, **kw)
 
     def curve(self, control_points, width0=0.01, width1=0.01,
-              n_segments: int = 16, n_sides: int = 4, **kw) -> None:
+              n_segments: int = 16, n_sides: int = 4, ctype: str = "cylinder",
+              n0=None, n1=None, facing=None, **kw) -> None:
         """Cubic Bezier curve (src/shapes/curve.cpp) tessellated at build into
-        a tube of ``n_sides`` facets with linearly interpolated width.
+        the shared triangle SoA (one intersection kernel for all geometry;
+        the reference intersects curves analytically per ray).
 
-        The reference intersects flat/cylinder/ribbon curves analytically per
-        ray; the TPU-first choice tessellates into the shared triangle SoA
-        (one intersection kernel for all geometry).  ``cylinder``-type
-        appearance; view-facing "flat" curves have no static-geometry
-        equivalent and render as tubes (documented).
+        ``ctype`` mirrors the reference's CurveType (curve.h:60-70):
+
+        - ``"cylinder"`` — tube of ``n_sides`` facets, linearly
+          interpolated width;
+        - ``"ribbon"`` — oriented flat strip: the orientation normal is the
+          sin-weighted interpolation of the endpoint normals ``n0``/``n1``
+          (curve.cpp:301-309 ``sin((1-u)θ)/sinθ · n0 + sin(uθ)/sinθ · n1``),
+          and the strip spans ``normalize(cross(n_u, dpdu)) * width``
+          (curve.cpp:335-336 dpdv);
+        - ``"flat"`` — a ribbon that faces the viewer: the reference orients
+          it per-ray; the static tessellation faces the ``facing`` point
+          (the camera position when driven by the parser) — exact for
+          primary rays, approximate for secondary.
         """
         import numpy as _np
 
         cp = _np.asarray(control_points, _np.float32).reshape(4, 3)
+        if ctype in ("flat", "ribbon"):
+            self._curve_strip(cp, width0, width1, n_segments, ctype,
+                              n0, n1, facing, **kw)
+            return
         ts = _np.linspace(0.0, 1.0, n_segments + 1, dtype=_np.float32)
         # Bezier evaluation + derivative
         def bez(t):
@@ -580,6 +594,66 @@ class SceneBuilder:
                 j = (i + 1) % n_sides
                 self.triangle(a[i], a[j], bq[j], **kw_t)
                 self.triangle(a[i], bq[j], bq[i], **kw_t)
+
+    def _curve_strip(self, cp, width0, width1, n_segments, ctype,
+                     n0, n1, facing, **kw):
+        """Flat / ribbon curve tessellation (see ``curve``): a two-triangle
+        strip per segment, side direction from the interpolated orientation
+        normal (ribbon, curve.cpp:301-309,335) or the facing point (flat)."""
+        import numpy as _np
+
+        ts = _np.linspace(0.0, 1.0, n_segments + 1, dtype=_np.float32)
+        u = 1.0 - ts
+        p = ((u**3)[:, None] * cp[0] + (3*u*u*ts)[:, None] * cp[1]
+             + (3*u*ts*ts)[:, None] * cp[2] + (ts**3)[:, None] * cp[3])
+        d = ((3*u*u)[:, None] * (cp[1]-cp[0]) + (6*u*ts)[:, None] * (cp[2]-cp[1])
+             + (3*ts*ts)[:, None] * (cp[3]-cp[2]))
+        widths = width0 + (width1 - width0) * ts
+
+        if ctype == "ribbon":
+            if n0 is None or n1 is None:
+                raise ValueError(
+                    'ribbon curves need two normals ("N", curve.cpp:429)')
+            na = _np.asarray(n0, _np.float32)
+            nb = _np.asarray(n1, _np.float32)
+            na /= max(_np.linalg.norm(na), 1e-9)
+            nb /= max(_np.linalg.norm(nb), 1e-9)
+            cosang = float(_np.clip(_np.dot(na, nb), 0.0, 1.0))
+            ang = _np.arccos(cosang)  # normalAngle (curve.cpp:85)
+            inv_sin = 1.0 / max(_np.sin(ang), 1e-6)
+        else:
+            face_pt = _np.asarray(
+                facing if facing is not None else (0.0, 0.0, 0.0), _np.float32)
+
+        verts = []
+        for i in range(n_segments + 1):
+            tangent = d[i] / max(_np.linalg.norm(d[i]), 1e-9)
+            if ctype == "ribbon":
+                if ang < 1e-5:
+                    n_u = na
+                else:
+                    n_u = (_np.sin((1.0 - ts[i]) * ang) * inv_sin * na
+                           + _np.sin(ts[i] * ang) * inv_sin * nb)
+                side = _np.cross(n_u, tangent)
+            else:  # flat: face the viewer
+                view = face_pt - p[i]
+                side = _np.cross(view, tangent)
+            side_n = _np.linalg.norm(side)
+            if side_n < 1e-9:  # degenerate: pick any perpendicular
+                ref = _np.array([0, 0, 1.0], _np.float32)
+                if abs(float(_np.dot(ref, tangent))) > 0.9:
+                    ref = _np.array([1.0, 0, 0], _np.float32)
+                side = _np.cross(ref, tangent)
+                side_n = max(_np.linalg.norm(side), 1e-9)
+            side = side / side_n * (0.5 * widths[i])
+            verts.append((p[i] - side, p[i] + side))
+        for k in range(n_segments):
+            (a0, a1), (b0, b1) = verts[k], verts[k + 1]
+            seg_t = p[k + 1] - p[k]
+            seg_t = seg_t / max(_np.linalg.norm(seg_t), 1e-9)
+            kw_t = dict(kw, tangent=seg_t) if "tangent" not in kw else kw
+            self.triangle(a0, a1, b1, **kw_t)
+            self.triangle(a0, b1, b0, **kw_t)
 
     def loopsubdiv(self, indices, P, nlevels: int = 2, **kw) -> None:
         """Loop subdivision surface (src/shapes/loopsubdiv.cpp) applied at

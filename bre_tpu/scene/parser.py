@@ -671,8 +671,27 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                 cps = cps @ ctm[:3, :3].T + ctm[:3, 3]
                 w0 = _f(p, "width0", _f(p, "width", 0.01))
                 w1 = _f(p, "width1", _f(p, "width", 0.01))
+                # CurveType (curve.cpp:399-410; reference default "flat");
+                # ribbon takes two endpoint normals via "N" (curve.cpp:412-427)
+                ct_s = str(p.get("type", "flat")).strip('"')
+                if ct_s not in ("flat", "ribbon", "cylinder"):
+                    warnings.warn(
+                        f'unknown curve type "{ct_s}"; using "cylinder"')
+                    ct_s = "cylinder"
+                cn0 = cn1 = None
+                if ct_s == "ribbon":
+                    nn = np.asarray(p.get("N", []), np.float32).reshape(-1, 3)
+                    if nn.shape[0] != 2:
+                        warnings.warn('ribbon curve needs two "N" normals; '
+                                      "skipped")
+                        continue
+                    nn = nn @ np.linalg.inv(ctm[:3, :3])  # normal transform
+                    cn0, cn1 = nn[0], nn[1]
+                eye = (np.asarray(cam_to_world, np.float32)[:3, 3]
+                       if cam_to_world is not None else None)
                 for k in range(0, max(len(cps) - 3, 0), 3):  # bezier chains
                     b.curve(cps[k:k + 4], width0=w0, width1=w1,
+                            ctype=ct_s, n0=cn0, n1=cn1, facing=eye,
                             material=gs.material, medium_inside=mi,
                             medium_outside=mo)
             elif stype == "loopsubdiv":

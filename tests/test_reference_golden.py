@@ -35,7 +35,7 @@ def test_compat_matches_reference_golden():
     ps = parse_file(str(DATA / "fog_golden.pbrt"))
     scene = ps.build()
     cfg = PhotonBeamConfig(
-        iterations=2, maxdepth=5, photonsperiteration=2000,
+        iterations=2, maxdepth=3, photonsperiteration=2000,
         initialbeamradius=0.25, alpha=0.5, kernel="compat",
     )
     img, stats = render_photonbeam(scene, ps.camera, 32, 32, cfg)

@@ -40,6 +40,60 @@ def test_curve_varying_width():
     assert bool(h.valid[0]) and not bool(h.valid[1])
 
 
+def test_curve_flat_faces_viewer():
+    """Flat curves (reference default type, curve.cpp:399-402) tessellate as
+    a strip facing the ``facing`` point: a ray from that side hits across the
+    full width; an edge-on ray (along the strip plane) misses."""
+    b = SceneBuilder()
+    b.curve([(-1, 0, 0), (-0.3, 0, 0), (0.3, 0, 0), (1, 0, 0)],
+            width0=0.2, width1=0.2, material=b.matte(),
+            ctype="flat", facing=(0.0, 0.0, -3.0))
+    sc = b.build()
+    o = jnp.asarray([[0.0, 0.0, -3.0], [0.0, 0.05, -3.0], [-3.0, 0.5, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    h = intersect(sc, o, d)
+    assert bool(h.valid[0])        # center of the strip
+    assert bool(h.valid[1])        # within half-width 0.1 facing the camera
+    assert not bool(h.valid[2])    # edge-on: strip has no thickness
+
+
+def test_curve_ribbon_orientation():
+    """Ribbon curves span perpendicular to the interpolated endpoint normals
+    (curve.cpp:301-309,335): with both normals +z, the strip lies in the xy
+    plane — hit from +z, missed edge-on from +y."""
+    b = SceneBuilder()
+    b.curve([(-1, 0, 0), (-0.3, 0, 0), (0.3, 0, 0), (1, 0, 0)],
+            width0=0.3, width1=0.3, material=b.matte(),
+            ctype="ribbon", n0=(0, 0, 1), n1=(0, 0, 1))
+    sc = b.build()
+    o = jnp.asarray([[0.0, 0.0, -3.0], [0.0, -3.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
+    h = intersect(sc, o, d)
+    assert bool(h.valid[0])      # normal side
+    assert not bool(h.valid[1])  # edge-on
+
+
+def test_parser_curve_types():
+    from bre_tpu.scene.parser import parse_string
+
+    scene_text = """
+    Film "image" "integer xresolution" 4 "integer yresolution" 4
+    LookAt 0 0 -3 0 0 0 0 1 0
+    Camera "perspective" "float fov" 45
+    WorldBegin
+    Material "matte" "rgb Kd" [ .5 .5 .5 ]
+    Shape "curve" "string type" "ribbon" "point P" [ -1 0 0  -.3 0 0  .3 0 0  1 0 0 ]
+        "float width" .2 "normal N" [ 0 0 1  0 0 1 ]
+    Shape "curve" "string type" "flat" "point P" [ -1 1 0  -.3 1 0  .3 1 0  1 1 0 ]
+        "float width" .2
+    WorldEnd
+    """
+    ps = parse_string(scene_text)
+    sc = ps.build()
+    # strips: 2 triangles x 16 segments x 2 curves
+    assert sc.n_triangles == 64
+
+
 def test_loopsubdiv_smooths_toward_limit():
     """An octahedron subdivided twice shrinks toward its limit surface:
     vertices move inward and the surface stays intersectable."""
@@ -89,7 +143,9 @@ def test_parser_curve_and_loopsubdiv():
     """
     ps = parse_string(scene_text)
     sc = ps.build()
-    assert sc.n_triangles > 100  # tube facets + subdivided triangle
+    # untyped curves default to "flat" (reference curve.cpp:400): a strip of
+    # 2x16 triangles, plus the subdivided triangle's 4
+    assert sc.n_triangles == 36
 
 
 def test_cyhair_roundtrip(tmp_path):
