@@ -82,6 +82,41 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / reps
 
     rays_per_sec = wh * wh / dt
+
+    # ---- second metric: config-2 SPEC SCALE (VERDICT round-2 item 5) ----
+    # Cornell-fog shape: 256^2 rays x 1M photons/iter (multi-M beams), full
+    # fwd+bwd iteration, gather="auto" (dual-regime sparse tier may engage).
+    spec_wh, spec_photons = 256, 1_000_000
+    spec_cam = make_perspective_camera(
+        tfm.look_at((0, 0, -3.5), (0, 0, 0), (0, 1, 0)), 45.0, spec_wh,
+        spec_wh)
+    spec_cfg = PhotonBeamConfig(
+        maxdepth=max_depth, photonsperiteration=spec_photons,
+        initialbeamradius=0.1, gather="auto", gather_chunk=256,
+        grad_geometry=False, grad_extras=False,
+    )
+
+    def spec_iteration(sigma_a, sigma_s, iter_idx):
+        sc = scene._replace(
+            media=scene.media._replace(sigma_a=sigma_a, sigma_s=sigma_s))
+        beams, _ = trace_photon_beams(
+            sc, distr, iter_idx, spec_photons, max_depth, jnp.float32(0.1),
+            detach_sampling=True)
+        Ld, _ = camera_pass(sc, spec_cam, spec_wh, spec_wh, beams,
+                            jnp.float32(0.1), iter_idx, spec_cfg,
+                            spec_photons)
+        return jnp.mean(Ld)
+
+    spec_fwd_bwd = jax.jit(jax.value_and_grad(spec_iteration, argnums=(0, 1)))
+    out = spec_fwd_bwd(sa, ss, jnp.uint32(0))
+    jax.block_until_ready(out)
+    spec_reps = 2
+    t0 = time.perf_counter()
+    for i in range(spec_reps):
+        out = spec_fwd_bwd(sa, ss, jnp.uint32(i + 1))
+    jax.block_until_ready(out)
+    spec_dt = (time.perf_counter() - t0) / spec_reps
+    spec_rays_per_sec = spec_wh * spec_wh / spec_dt
     # vs_baseline: ratio against the first recorded round's number (the
     # reference publishes none, BASELINE.md).  BENCH_r1.json is written by
     # the driver after round 1; before that the ratio is 1.0 by definition.
@@ -110,6 +145,18 @@ def main() -> None:
                 "value": rays_per_sec,
                 "unit": "rays/s/chip",
                 "vs_baseline": (rays_per_sec / baseline) if baseline else 1.0,
+                # second recorded metric (VERDICT round-2 item 5): one full
+                # fwd+bwd iteration at BASELINE config-2 scale — 256^2 rays x
+                # 1M photons/iter (~7M beam slots), gather="auto".  Round-2
+                # equivalent: the recorded config-2 render (grad-FREE) ran
+                # 4 iters x 1M photons in 128.9 s incl ~30 s compile =
+                # ~24.7 s/iter -> 10.6k rays/s forward-only (BASELINE.md).
+                "spec_scale": {
+                    "metric": "spec_rays_per_sec_fwd_bwd_256sq_1M",
+                    "value": spec_rays_per_sec,
+                    "unit": "rays/s/chip",
+                    "sec_per_iter": spec_dt,
+                },
             }
         )
     )

@@ -607,15 +607,18 @@ def _gather_bwd_pallas(cfg, res, ct):
         cam_radius=jnp.sum(dr[:, DR_CAMR]).reshape(()),
         n_valid_beams=jnp.zeros(()),
     )
-    db = d_beams.reshape(n_chunks * chunk, -1)
+    # d_beams arrives in the transposed (n_chunks, NB, chunk) layout:
+    # slice the few needed FIELD rows before any transpose, so the
+    # lane-padded (B, NB) form never materializes
+    db = d_beams.transpose(1, 0, 2).reshape(d_beams.shape[1], -1)  # (NB, Bp')
     Bp = pb["radius"].shape[0]
-    db = db[:Bp]
+    db = db[:, :Bp]
     valid_col = pb["valid_f"][:, None]
     ct_pb = dict(
         start=jnp.zeros((Bp, 3)), end=jnp.zeros((Bp, 3)),
-        power_start=db[:, BF_PS:BF_PS + 3] * valid_col,
-        power_end=db[:, BF_PE:BF_PE + 3] * valid_col,
-        radius=db[:, BF_RAD],
+        power_start=db[BF_PS:BF_PS + 3].T * valid_col,
+        power_end=db[BF_PE:BF_PE + 3].T * valid_col,
+        radius=db[BF_RAD],
         valid_f=jnp.zeros((Bp,)),
     )
     return ct_pb, ct_seg
@@ -768,6 +771,29 @@ def permute_rows(x, order, inv_order):
 permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+def _permute_cols_fwd(x, order, inv_order):
+    return x[:, order], (order, inv_order)
+
+
+def _permute_cols_bwd(res, ct):
+    import numpy as np
+
+    order, inv_order = res
+    f0 = np.zeros(order.shape, jax.dtypes.float0)
+    return ct[:, inv_order], f0, f0
+
+
+@jax.custom_vjp
+def permute_cols(x, order, inv_order):
+    """``x[:, order]`` with the backward as an inverse-permutation gather
+    (see permute_rows) — used by the field-major beam packing, whose (nb, B)
+    layout must never transpose through the lane-padded (B, nb) form."""
+    return x[:, order]
+
+
+permute_cols.defvjp(_permute_cols_fwd, _permute_cols_bwd)
+
+
 def _inverse_permutation(order):
     return jax.lax.stop_gradient(jnp.argsort(order))
 
@@ -832,12 +858,18 @@ def pack_beams_compact(beams, chunk: int, tau_nodes=None):
         for ch in range(3):
             for k in range(HET_K):
                 cols.append(tau_nodes[:, k, ch])
-    mat = jnp.stack(cols, 1)  # (B, nb) — same column layout as pack_beams
-    nb = mat.shape[1]
-    mat = permute_rows(mat, order, inv_order)
+    # FIELD-MAJOR (nb, B) stacking: with the field axis minor, both the
+    # stacked matrix and the packed chunks pay XLA's (8,128) lane padding
+    # (16 -> 128, an 8x HBM blowup that OOM'd the 7M-beam spec backward);
+    # field-major arrays are exactly dense, and the compaction becomes one
+    # LANE gather (same data movement as the old row gather).
+    mat = jnp.stack(cols, 0)  # (nb, B) — row layout matches pack_beams
+    nb = mat.shape[0]
+    mat = permute_cols(mat, order, inv_order)
     if Bp != B:
-        mat = jnp.concatenate([mat, jnp.zeros((Bp - B, nb))], 0)
-    return mat.reshape(n_chunks, chunk, nb), jnp.sum(valid_f)
+        mat = jnp.concatenate([mat, jnp.zeros((nb, Bp - B))], 1)
+    return (mat.reshape(nb, n_chunks, chunk).transpose(1, 0, 2),
+            jnp.sum(valid_f))
 
 
 def _block_overlap_mask(beams_packed, seg_a0, seg_a1, tile, cam_radius):
@@ -852,11 +884,12 @@ def _block_overlap_mask(beams_packed, seg_a0, seg_a1, tile, cam_radius):
     n_valid skip for them)."""
     from ..ops.pallas_gather import BF_B0, BF_B1, BF_RAD, BF_VALID
 
+    # transposed packed layout (n_chunks, NB, chunk): fields on axis 1
     bp = jax.lax.stop_gradient(beams_packed)
-    start = bp[:, :, BF_B0 : BF_B0 + 3]
-    end = bp[:, :, BF_B1 : BF_B1 + 3]
-    rad = bp[:, :, BF_RAD : BF_RAD + 1]
-    live = bp[:, :, BF_VALID : BF_VALID + 1] > 0.0
+    start = bp[:, BF_B0 : BF_B0 + 3, :].transpose(0, 2, 1)
+    end = bp[:, BF_B1 : BF_B1 + 3, :].transpose(0, 2, 1)
+    rad = bp[:, BF_RAD : BF_RAD + 1, :].transpose(0, 2, 1)
+    live = bp[:, BF_VALID : BF_VALID + 1, :].transpose(0, 2, 1) > 0.0
     big = jnp.float32(3e37)
     cmin = jnp.min(jnp.where(live, jnp.minimum(start, end) - rad, big), 1)
     cmax = jnp.max(jnp.where(live, jnp.maximum(start, end) + rad, -big), 1)
@@ -929,14 +962,14 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
         BF_TAU, HET_K, RF_A0, RF_A1, RF_DENSC, RF_DIR, RF_G, RF_INMED,
         RF_LEN, RF_SIGS, RF_TAUC, RF_TR)
 
-    nch, C, nb = beams_packed.shape
-    flat = beams_packed.reshape(nch * C, nb)
+    nch, nb, C = beams_packed.shape  # transposed layout (n_chunks, NB, chunk)
+    flat = beams_packed.transpose(1, 0, 2).reshape(nb, nch * C)
     pb = dict(
-        start=flat[:, 0:3], end=flat[:, 3:6],
-        power_start=flat[:, 6:9], power_end=flat[:, 9:12],
-        radius=flat[:, 12], valid_f=flat[:, 13],
-        tau_nodes=flat[:, BF_TAU:BF_TAU + 3 * HET_K]
-        .reshape(-1, 3, HET_K).transpose(0, 2, 1),
+        start=flat[0:3].T, end=flat[3:6].T,
+        power_start=flat[6:9].T, power_end=flat[9:12].T,
+        radius=flat[12], valid_f=flat[13],
+        tau_nodes=flat[BF_TAU:BF_TAU + 3 * HET_K]
+        .reshape(3, HET_K, -1).transpose(2, 1, 0),
     )
     n_tiles, nf, T = rays_packed.shape
     rflat = rays_packed.transpose(1, 0, 2).reshape(nf, n_tiles * T)
@@ -1002,8 +1035,9 @@ def _packed_bwd(cfg, res, ct):
     )
 
     chunk, tile, power_scale, min_sin, grad_extras = cfg[:5]
+    sparse_cap = cfg[5] if len(cfg) > 5 else 0
     beams_packed, rays_packed, scal = res
-    hetero = beams_packed.shape[2] > _NB
+    hetero = beams_packed.shape[1] > _NB  # (n_chunks, NB, chunk)
     if hetero and not (PALLAS_BWD_ENABLED and PALLAS_BWD_HETERO):
         return _packed_bwd_hetero(cfg, res, ct)
     n_tiles = rays_packed.shape[0]
@@ -1015,9 +1049,30 @@ def _packed_bwd(cfg, res, ct):
          jnp.float32(power_scale), jnp.float32(min_sin),
          jnp.asarray(scal["n_valid"], jnp.float32)]
     ).reshape(1, 4)
-    d_rays8, d_beams = pallas_gather_backward_fused(
-        rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
-        want_extras=grad_extras, block_mask=scal.get("block_mask"))
+    if sparse_cap > 0 and not hetero and "block_mask" in scal:
+        # mirror the forward's sparse/dense runtime pick (same mask, same
+        # cap): two sparse passes over live blocks when they fit, the
+        # masked dense fused kernel otherwise
+        from ..ops.pallas_gather import sparse_block_ids
+        from ..ops.pallas_gather_bwd import (
+            pallas_gather_backward_sparse, sparse_block_ids_chunk_major)
+
+        mask = scal["block_mask"]
+        idx_t, n_live = sparse_block_ids(mask, sparse_cap)
+        idx_c, _ = sparse_block_ids_chunk_major(mask, sparse_cap)
+        d_rays8, d_beams = jax.lax.cond(
+            n_live <= sparse_cap,
+            lambda: pallas_gather_backward_sparse(
+                rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
+                idx_t, idx_c, want_extras=grad_extras),
+            lambda: pallas_gather_backward_fused(
+                rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
+                want_extras=grad_extras, block_mask=mask),
+        )
+    else:
+        d_rays8, d_beams = pallas_gather_backward_fused(
+            rays_packed, beams_packed, scalars4, ct_packed, tile, chunk,
+            want_extras=grad_extras, block_mask=scal.get("block_mask"))
     d_rays = jnp.zeros_like(rays_packed)
     if hetero:
         # hetero rows: sigma_s + camera tau/density node tables + g
@@ -1086,7 +1141,7 @@ def gather_beams_packed(
     from ..ops.pallas_gather import NB as _NB
 
     R = seg_a0.shape[0]
-    hetero = beams_packed.shape[2] > _NB
+    hetero = beams_packed.shape[1] > _NB  # (n_chunks, NB, chunk)
     _, sigma_s_seg, g_seg, _, seg_in_med = gather_medium(media, seg_medium)
     sgg = jax.lax.stop_gradient
     in_med_f = seg_in_med.astype(jnp.float32)
@@ -1110,34 +1165,58 @@ def gather_beams_packed(
             media, seg_medium, sgg(seg_a0), sgg(seg_a1))
         seg["tau_cam_nodes"] = taud_c
         seg["dens_cam_nodes"] = dens_c
-    tile = (256 if sparse_cap > 0
-            else _pallas_tile(min(chunk, 256), heavy=grad_extras,
-                              hetero=hetero))
+    def packed_call(seg_in, tile, cap):
+        """Pad rays to ``tile``, pack, compute the chunk x tile mask, and run
+        the packed core; returns (R, 3)."""
+        R_pad = ((R + tile - 1) // tile) * tile
+        seg_p = seg_in
+        if R_pad != R:
+            seg_p = {
+                k: jnp.concatenate(
+                    [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0)
+                for k, v in seg_in.items()
+            }
+        rays_packed = pack_rays(seg_p, tile)
+        scal = dict(
+            cam_radius=jnp.asarray(cam_radius, jnp.float32),
+            n_valid=jnp.asarray(n_valid, jnp.float32),
+            # spatial chunk x tile cull (Morton-sorted chunks, exact skip)
+            block_mask=_block_overlap_mask(
+                beams_packed, seg_p["a0"], seg_p["a1"], tile, cam_radius),
+        )
+        cfg = (int(min(chunk, 256)), int(tile), float(power_scale),
+               float(min_sin_theta), bool(grad_extras), int(cap))
+        return _gather_core_packed(cfg, beams_packed, rays_packed, scal)[:R]
+
     # Small compacted-ray budgets (photonbeam's post-bounce tiers) must not
     # pad to the full 2048 tile — a 102-ray step would sweep 95% dead lanes
     # against every live beam chunk.  Cap the tile at the 256-multiple
     # covering R (lane granularity: f32 VREG is 8x128; 256 keeps 2 lanes
     # rows per op).
-    tile = min(tile, max(256, ((R + 255) // 256) * 256))
-    R_pad = ((R + tile - 1) // tile) * tile
-    if R_pad != R:
-        seg = {
-            k: jnp.concatenate(
-                [v, jnp.zeros((R_pad - R,) + v.shape[1:], v.dtype)], 0)
-            for k, v in seg.items()
-        }
-    rays_packed = pack_rays(seg, tile)
-    scal = dict(
-        cam_radius=jnp.asarray(cam_radius, jnp.float32),
-        n_valid=jnp.asarray(n_valid, jnp.float32),
-        # spatial chunk x tile cull (Morton-sorted chunks, exact skip)
-        block_mask=_block_overlap_mask(
-            beams_packed, seg["a0"], seg["a1"], tile, cam_radius),
+    r_cap = max(256, ((R + 255) // 256) * 256)
+    dense_tile = min(r_cap, _pallas_tile(min(chunk, 256), heavy=grad_extras,
+                                         hetero=hetero))
+    if sparse_cap <= 0 or dense_tile <= 256:
+        return packed_call(seg, dense_tile,
+                           sparse_cap if dense_tile <= 256 else 0)
+    # Dual-regime runtime pick (gather="auto" semantics): count live blocks
+    # at the sparse granularity (256-lane tiles sharpen the AABB cull); take
+    # the 1D sparse-block kernel when the live count fits the cap, the
+    # big-tile dense grid otherwise.  Both branches are exact — this is the
+    # batched analog of the reference BVH query adapting to beam locality
+    # (photonbeambvh.cpp:685).
+    n_tiles_s = r_cap // 256
+    a0_p = jnp.concatenate(
+        [seg["a0"], jnp.zeros((r_cap - R, 3))], 0) if r_cap != R else seg["a0"]
+    a1_p = jnp.concatenate(
+        [seg["a1"], jnp.zeros((r_cap - R, 3))], 0) if r_cap != R else seg["a1"]
+    mask_s = _block_overlap_mask(beams_packed, a0_p, a1_p, 256, cam_radius)
+    n_live = jnp.sum(mask_s > 0).astype(jnp.int32)
+    return jax.lax.cond(
+        n_live <= sparse_cap,
+        lambda: packed_call(seg, 256, sparse_cap),
+        lambda: packed_call(seg, dense_tile, 0),
     )
-    cfg = (int(min(chunk, 256)), int(tile), float(power_scale),
-           float(min_sin_theta), bool(grad_extras), int(sparse_cap))
-    out = _gather_core_packed(cfg, beams_packed, rays_packed, scal)
-    return out[:R]
 
 
 # ---------------------------------------------------------------------------

@@ -247,6 +247,19 @@ def camera_pass_by_pixels(
                 # (The reference's per-ray BVH query is naturally free for
                 # such rays, photonbeambvh.cpp:685; this is the batched
                 # equivalent.)
+                # gather="auto" engages the dual-regime sparse tier: the
+                # packed gather counts live (chunk x 256-lane-tile) blocks at
+                # runtime and takes the 1D sparse-block kernel when they fit
+                # the cap (shrunken progressive radii, localized beams), the
+                # big-tile dense grid otherwise — both exact.  The cap bounds
+                # the compacted id buffer: a quarter of the block grid,
+                # clamped to 128k ids (0.5 MB SMEM-prefetched indices).
+                sparse_cap = cfg.gather_sparse_cap
+                if cfg.gather == "auto" and use_packed and sparse_cap == 0:
+                    n_chunks_est = max(1, beams.capacity // 256)
+                    total_blocks = n_chunks_est * max(1, R // 256)
+                    sparse_cap = min(total_blocks // 4, 1 << 17)
+
                 def _gather_rays(o_, e_, d_, med_, tr_):
                     if use_packed:
                         return gather_beams_packed(
@@ -255,7 +268,7 @@ def camera_pass_by_pixels(
                             chunk=cfg.gather_chunk,
                             power_scale=1.0 / float(photons_per_iter),
                             grad_extras=cfg.grad_extras,
-                            sparse_cap=cfg.gather_sparse_cap,
+                            sparse_cap=sparse_cap,
                         )
                     return gather_beams_bruteforce(
                         beams,

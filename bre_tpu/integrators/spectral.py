@@ -1,0 +1,123 @@
+"""Full-spectral (60-bin) render mode — SampledSpectrum as a renderer, not
+just a library.
+
+Reference: the compile-time switch ``PBRT_SAMPLED_SPECTRUM``
+(/root/reference/src/core/pbrt.h:110-111) rebuilds the whole renderer over
+60-bin ``SampledSpectrum`` (spectrum.h:282-476) instead of ``RGBSpectrum``.
+The TPU-first equivalent here is **band slicing**: the 60 bins are rendered
+as 20 independent 3-bin slices through the *existing, fully-tested* RGB
+volpath machinery — every radiometric quantity in a slice is that
+quantity's SPD evaluated at the slice's three bin wavelengths, so each
+slice render is an exact 3-bin spectral transport solve (channel-stratified
+distance sampling and RR operate per-slice, as pbrt's 60-channel build
+operates over all bins).  The slice images ARE the 60-bin spectral image;
+the final conversion integrates against the CIE matching functions
+(``to_xyz``) exactly as ``SampledSpectrum::ToXYZ`` (spectrum.h:340-358).
+
+RGB-authored inputs (kd, sigma_a, Le, ...) are lifted to SPDs with the
+smoothest-metamer map (``sampled_spectrum.from_rgb`` — the analog of
+pbrt's ``FromRGB`` basis-spectra upsampling, spectrum.cpp:~390-470);
+SPD-authored inputs can be resampled with ``from_sampled`` and sliced the
+same way.  Conductor eta/k and image textures stay RGB-valued per slice
+(documented approximation; pbrt's spectral build resamples its metal SPD
+tables — the named-metal SPDs here were already RGB-converted at build).
+
+Cost is the honest cost of spectral rendering: 20x an RGB render (pbrt's
+60-bin build similarly multiplies all spectrum arithmetic by 20).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import sampled_spectrum as ss
+from ..core.spectrum import xyz_to_rgb
+from ..scene.scene import Scene
+from .volpath import VolPathConfig, render_volpath
+
+N_SLICES = ss.N_SAMPLES // 3  # 20
+
+
+def _achromatic_preserving_lift() -> np.ndarray:
+    """(60,3) linear lift with FLAT achromatic axis: rgb -> mean(rgb) * flat
+    + smoothest-metamer(rgb - mean(rgb)).  Gray inputs lift to exactly flat
+    SPDs, so products of achromatic quantities stay achromatic through the
+    spectral transport (the property pbrt's Smits-style reflectance bases
+    approximate with their near-flat white basis, spectrum.cpp
+    rgbRefl2SpectWhite); chromatic content rides the metamer residual."""
+    n = ss.N_SAMPLES
+    ones3 = np.full((3, 3), 1.0 / 3.0)
+    flat = np.ones((n, 1)) @ np.ones((1, 3)) / 3.0
+    return flat + ss._RGB_TO_SPECTRUM @ (np.eye(3) - ones3)
+
+
+_LIFT = _achromatic_preserving_lift()
+
+# White balance to illuminant E: a flat unit SPD must integrate back to RGB
+# (1,1,1) — the self-consistent convention for the flat-achromatic lift
+# (the CIE equal-energy white differs from the sRGB matrices' D65 white).
+# Pure numpy (module import must be trace-safe — test_no_tracer_leaks).
+_XYZ2RGB = np.array(
+    [[3.240479, -1.537150, -0.498535],
+     [-0.969256, 1.875991, 0.041556],
+     [0.055648, -0.204043, 1.057311]])  # spectrum.h:181-190
+_FLAT_XYZ = (ss._CMF * ss._DLAM).sum(0) / ss.CIE_Y_INTEGRAL
+_WB = 1.0 / np.maximum(_XYZ2RGB @ _FLAT_XYZ, 1e-6)
+
+
+def _slice_lift_matrix(k: int) -> jnp.ndarray:
+    """(3,3) map taking an RGB triple to its lifted SPD sampled at slice
+    k's three bin wavelengths."""
+    return jnp.asarray(_LIFT[3 * k : 3 * k + 3, :], jnp.float32)
+
+
+def slice_scene(scene: Scene, k: int) -> Scene:
+    """Scene with every color field lifted to slice k's wavelengths."""
+    L = _slice_lift_matrix(k)
+
+    def lift(c, clamp=True):
+        out = jnp.asarray(c, jnp.float32) @ L.T
+        return jnp.maximum(out, 0.0) if clamp else out
+
+    mats = scene.materials._replace(
+        kd=lift(scene.materials.kd),
+        ks=lift(scene.materials.ks),
+        mix_amount=jnp.clip(lift(scene.materials.mix_amount), 0.0, 1.0),
+        bss_sigma_a=lift(scene.materials.bss_sigma_a),
+        bss_sigma_s=lift(scene.materials.bss_sigma_s),
+    )
+    lights = scene.lights._replace(
+        emit=lift(scene.lights.emit),
+        img_mean=lift(scene.lights.img_mean),
+    )
+    media = scene.media._replace(
+        sigma_a=lift(scene.media.sigma_a),
+        sigma_s=lift(scene.media.sigma_s),
+    )
+    return scene._replace(materials=mats, lights=lights, media=media)
+
+
+def render_volpath_spectral(scene: Scene, camera, width: int, height: int,
+                            cfg: VolPathConfig = VolPathConfig(),
+                            return_spectrum: bool = False):
+    """Spectral volpath: render all 20 band slices and integrate to RGB.
+
+    Returns (H, W, 3) RGB by default; ``return_spectrum=True`` additionally
+    returns the raw (H, W, 60) spectral image.
+    """
+    # Slices share sampler streams (volpath seeds by pixel/sample index):
+    # that CORRELATES the per-bin noise — the spectral shape of each pixel
+    # is low-variance even when its magnitude is noisy, the classic
+    # spectral-sampling trick (and pbrt's 60-bin build behaves the same
+    # way: one path carries all bins).
+    slices = []
+    for k in range(N_SLICES):
+        sc = slice_scene(scene, k)
+        slices.append(render_volpath(sc, camera, width, height, cfg))
+    spec = jnp.concatenate([jnp.asarray(s) for s in slices], axis=-1)  # 60
+    xyz = ss.to_xyz(spec)
+    rgb = xyz_to_rgb(xyz) * jnp.asarray(_WB, jnp.float32)
+    if return_spectrum:
+        return rgb, spec
+    return rgb

@@ -122,9 +122,16 @@ def _gather_kernel(scalars_ref, mask_ref, rays_ref, beams_ref, out_ref, *,
 def _pair_block_update(rays_ref, beams_ref, cam_radius, min_sin,
                        hetero=False):
     """(8, T) accumulated contribution of one (beam chunk x ray tile) pair
-    block — shared by the dense-grid and sparse-block kernels."""
+    block — shared by the dense-grid and sparse-block kernels.
+
+    Beam blocks arrive TRANSPOSED — (NB, chunk), fields as rows — because
+    the packed HBM array is (n_chunks, NB, chunk): with NB minor the XLA
+    (8,128) tiling pads 16 -> 128 lanes, an 8x HBM blowup that OOM'd the
+    spec-scale backward (39 GB for 7M beams; BASELINE.md round 3).  One
+    in-register transpose per block restores the (C, field) orientation."""
     r_row = lambda k: rays_ref[0, k : k + 1, :]  # (1,T)
-    b_col = lambda k: beams_ref[0, :, k : k + 1]  # (C,1)
+    bmat = jnp.transpose(beams_ref[0])  # (chunk, NB)
+    b_col = lambda k: bmat[:, k : k + 1]  # (C,1)
 
     # segment and beam vectors
     a0 = [r_row(RF_A0 + c) for c in range(3)]
@@ -245,7 +252,7 @@ def pallas_gather_forward(
     n_tiles = rays_packed.shape[0]
     n_chunks = beams_packed.shape[0]
     nf = rays_packed.shape[1]  # NF (homogeneous) or NF_HET
-    nb = beams_packed.shape[2]
+    nb = beams_packed.shape[1]  # transposed layout (n_chunks, NB, chunk)
     hetero = nf == NF_HET
     interpret = jax.default_backend() != "tpu"
     if block_mask is None:
@@ -271,7 +278,7 @@ def pallas_gather_forward(
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, nf, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, nb), lambda j, i: (j, 0, 0),
+                pl.BlockSpec((1, nb, chunk), lambda j, i: (j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((g_tiles, 8, tile), lambda j, i: (0, 0, 0),
@@ -316,7 +323,10 @@ def pack_rays(seg: dict, tile: int) -> jnp.ndarray:
 
 
 def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
-    """padded beam dict (Bp-sized arrays) -> (n_chunks, C, NB) feature cols."""
+    """padded beam dict (Bp-sized arrays) -> (n_chunks, NB, chunk) feature
+    ROWS — the transposed layout: with the field axis minor, the XLA (8,128)
+    tiling pads 16 -> 128 lanes (8x HBM; OOM'd the 7M-beam spec backward);
+    with the field axis on sublanes the array is exactly dense."""
     Bp = pb["radius"].shape[0]
     n_chunks = Bp // chunk
     cols = [
@@ -329,14 +339,14 @@ def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
         jnp.zeros_like(pb["radius"]),
         jnp.zeros_like(pb["radius"]),
     ]
-    if "tau_nodes" in pb:  # heterogeneous extension columns
+    if "tau_nodes" in pb:  # heterogeneous extension rows
         taud = pb["tau_nodes"]  # (Bp, K, 3)
         for ch in range(3):
             for k in range(HET_K):
                 cols.append(taud[:, k, ch])
     nb = len(cols)
-    packed = jnp.stack(cols, 1)  # (Bp, nb)
-    return packed.reshape(n_chunks, chunk, nb)
+    packed = jnp.stack(cols, 0)  # (nb, Bp) — field-major, no padded axis
+    return packed.reshape(nb, n_chunks, chunk).transpose(1, 0, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +419,7 @@ def pallas_gather_sparse(
     n_tiles = rays_packed.shape[0]
     n_chunks = beams_packed.shape[0]
     nf = rays_packed.shape[1]
-    nb = beams_packed.shape[2]
+    nb = beams_packed.shape[1]  # transposed layout (n_chunks, NB, chunk)
     hetero = nf == NF_HET
     n_chunks1 = n_chunks + 1
     interpret = jax.default_backend() != "tpu"
@@ -433,7 +443,7 @@ def pallas_gather_sparse(
                     lambda i, idx_ref: (idx_ref[i] // n_chunks1, 0, 0),
                     memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, chunk, nb),
+                    (1, nb, chunk),
                     lambda i, idx_ref: (
                         jnp.maximum(idx_ref[i] % n_chunks1 - 1, 0), 0, 0),
                     memory_space=pltpu.VMEM),

@@ -76,7 +76,10 @@ def _pair_quantities(scalars_ref, rays_ref, beams_ref):
     min_sin = scalars_ref[0, 2]
 
     r_row = lambda k: rays_ref[0, k : k + 1, :]
-    b_col = lambda k: beams_ref[0, :, k : k + 1]
+    # beam blocks arrive transposed (NB, chunk) — see pallas_gather
+    # _pair_block_update for the layout rationale (8x HBM padding)
+    bmat = jnp.transpose(beams_ref[0])  # (chunk, NB)
+    b_col = lambda k: bmat[:, k : k + 1]
 
     a0 = [r_row(RF_A0 + c) for c in range(3)]
     d1 = [r_row(RF_A1 + c) - a0[c] for c in range(3)]
@@ -181,11 +184,15 @@ def _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
         wg = q["base"] * q["k1"] * q["drho_dg"]
     frac_b, frac_c = q["frac_b"], q["frac_c"]
 
+    C = frac_b.shape[0]
+    zcol = jnp.zeros((C, 1), jnp.float32)
     d_tr_rows = []
     d_sig_rows = []
+    d_ps_cols = []
+    d_pe_cols = []
     d_g = jnp.zeros((1, frac_b.shape[1]), jnp.float32)
     d_camr = jnp.zeros((1, frac_b.shape[1]), jnp.float32)
-    d_rad = jnp.zeros((frac_b.shape[0], 1), jnp.float32)
+    d_rad = zcol
     for ch in range(3):
         ct_ch = ct_ref[0, ch : ch + 1, :]  # (1,T)
         sig = r_row(RF_SIGS + ch)
@@ -206,10 +213,9 @@ def _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
         cA = coef * A
         # --- per-beam cotangents (reduce over rays/lanes) ---
         pe_live = (pe > 1e-12 * ps_s).astype(jnp.float32)
-        dbeams_ref[0, :, BF_PS + ch : BF_PS + ch + 1] += jnp.sum(
-            cA * (1.0 - frac_b), 1, keepdims=True) / ps_s
-        dbeams_ref[0, :, BF_PE + ch : BF_PE + ch + 1] += jnp.sum(
-            cA * frac_b * pe_live, 1, keepdims=True) / pe_s
+        d_ps_cols.append(jnp.sum(cA * (1.0 - frac_b), 1, keepdims=True) / ps_s)
+        d_pe_cols.append(jnp.sum(cA * frac_b * pe_live, 1, keepdims=True)
+                         / pe_s)
         # --- per-ray cotangents (reduce over beams/sublanes) ---
         d_sig_rows.append(ct_ch * jnp.sum(A, 0, keepdims=True))
         d_tr_rows.append(ct_ch * sig * jnp.sum(A * frac_c, 0, keepdims=True)
@@ -219,8 +225,10 @@ def _bwd_fused_body(scalars_ref, rays_ref, beams_ref, ct_ref,
             d_rad = d_rad + jnp.sum(prod_rad, 1, keepdims=True)
             d_g = d_g + jnp.sum(coef * wg * pt, 0, keepdims=True)
             d_camr = d_camr + jnp.sum(prod_rad, 0, keepdims=True)
-    if want_extras:
-        dbeams_ref[0, :, BF_RAD : BF_RAD + 1] += d_rad
+    # one transposed write: (C, NB) update -> (NB, C) output block
+    upd_b = jnp.concatenate(
+        [zcol] * 6 + d_ps_cols + d_pe_cols + [d_rad, zcol, zcol, zcol], 1)
+    dbeams_ref[0] += jnp.transpose(upd_b)
     upd = jnp.concatenate(d_tr_rows + d_sig_rows + [d_g, d_camr], axis=0)  # (8,T)
     drays_ref[pl.ds(i, 1)] = drays_ref[pl.ds(i, 1)] + upd[None]
 
@@ -252,11 +260,14 @@ def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
 
     T = frac_b.shape[1]
     C = frac_b.shape[0]
+    zcol = jnp.zeros((C, 1), jnp.float32)
     d_sig_rows = []
     d_tauc_rows = [None] * 24
+    d_ps_cols = []
+    d_taub_cols = [None] * 24
     d_g = jnp.zeros((1, T), jnp.float32)
     d_camr = jnp.zeros((1, T), jnp.float32)
-    d_rad = jnp.zeros((C, 1), jnp.float32)
+    d_rad = zcol
     cw_sum = jnp.zeros_like(frac_b)  # sum_ch ct*w0*pt*sig (for dens nodes)
     for ch in range(3):
         ct_ch = ct_ref[0, ch : ch + 1, :]  # (1,T)
@@ -274,12 +285,10 @@ def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
         # cB = d contrib / d ps ; cA = ct * contrib (pair weight)
         cB = ct_ch * (w0 * sig * dens_c) * decay
         cA = cB * ps
-        dbeams_ref[0, :, BF_PS + ch : BF_PS + ch + 1] += jnp.sum(
-            cB, 1, keepdims=True)
+        d_ps_cols.append(jnp.sum(cB, 1, keepdims=True))
         # tau cotangents: d contrib / d tau_node = -cA * clip(f - k, 0, 1)
         for k in range(HET_K):
-            dbeams_ref[0, :, BF_TAU + ch * HET_K + k :
-                       BF_TAU + ch * HET_K + k + 1] += jnp.sum(
+            d_taub_cols[ch * HET_K + k] = jnp.sum(
                 -cA * jnp.clip(fb - k, 0.0, 1.0), 1, keepdims=True)
             d_tauc_rows[ch * HET_K + k] = jnp.sum(
                 -cA * jnp.clip(fc - k, 0.0, 1.0), 0, keepdims=True)
@@ -291,8 +300,11 @@ def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
             d_g = d_g + jnp.sum(ct_ch * wg * pt * sig * dens_c, 0,
                                 keepdims=True)
             d_camr = d_camr + jnp.sum(prod_rad, 0, keepdims=True)
-    if want_extras:
-        dbeams_ref[0, :, BF_RAD : BF_RAD + 1] += d_rad
+    # one transposed write per block: (C, NB_HET) -> (NB_HET, C)
+    upd_b = jnp.concatenate(
+        [zcol] * 6 + d_ps_cols + [zcol] * 3 + [d_rad, zcol, zcol, zcol]
+        + d_taub_cols, 1)
+    dbeams_ref[0] += jnp.transpose(upd_b)
     d_dens_rows = [jnp.sum(cw_sum * hat(k), 0, keepdims=True)
                    for k in range(HET_K)]
     zrow = jnp.zeros((1, T), jnp.float32)
@@ -348,7 +360,7 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
     n_tiles = rays_packed.shape[0]
     n_chunks = beams_packed.shape[0]
     nf = rays_packed.shape[1]
-    nb = beams_packed.shape[2]
+    nb = beams_packed.shape[1]  # transposed layout (n_chunks, NB, chunk)
     hetero = nf == NF_HET
     ndr = NDR_HET if hetero else 8
     if hetero:
@@ -378,19 +390,19 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, nf, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, nb), lambda j, i: (j, 0, 0),
+                pl.BlockSpec((1, nb, chunk), lambda j, i: (j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, tile), lambda j, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, chunk, nb), lambda j, i: (j, 0, 0),
+                pl.BlockSpec((1, nb, chunk), lambda j, i: (j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((g_tiles, ndr, tile), lambda j, i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n_chunks, chunk, nb), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks, nb, chunk), jnp.float32),
                 jax.ShapeDtypeStruct((g_tiles, ndr, tile), jnp.float32),
             ],
             interpret=interpret,
@@ -400,7 +412,7 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
         d_beams, d_rays = run_group(rays_packed, ct_packed, block_mask)
         return d_rays, d_beams
 
-    d_beams_total = jnp.zeros((n_chunks, chunk, nb), jnp.float32)
+    d_beams_total = jnp.zeros((n_chunks, nb, chunk), jnp.float32)
     d_rays_parts = []
     for s in range(0, n_tiles, group_tiles):
         e = min(s + group_tiles, n_tiles)
@@ -409,6 +421,259 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
         d_beams_total = d_beams_total + db
         d_rays_parts.append(dr)
     return jnp.concatenate(d_rays_parts, 0), d_beams_total
+
+
+# ---------------------------------------------------------------------------
+# Sparse-block backward (round-3): the dual-regime auto gather's sparse
+# forward (pallas_gather.pallas_gather_sparse) sweeps only live (chunk x
+# 256-lane-tile) blocks; a dense-grid backward would pay a grid step per
+# DEAD block (28M blocks at spec scale).  The fused single-pass layout can't
+# go sparse directly — d_beams wants chunk-major revisit order, d_rays
+# tile-major — so the sparse backward runs TWO passes over the live blocks
+# (2x pair recompute on live blocks only, still far cheaper than the dense
+# grid in sparse regimes):
+#   pass 1: chunk-major ids -> d_beams blocks (accumulate consecutively);
+#   pass 2: tile-major ids (the forward's) -> d_rays blocks.
+# Homogeneous BRE only (the hetero sparse regime falls back to dense).
+# ---------------------------------------------------------------------------
+
+
+def _ray_rows_update(scalars_ref, rays_ref, beams_ref, ct_ref, want_extras):
+    """(8,T) per-ray cotangent rows for one pair block (same math as the
+    fused body's ray side)."""
+    q = _pair_quantities(scalars_ref, rays_ref, beams_ref)
+    r_row, b_col = q["r_row"], q["b_col"]
+    w0 = q["base"] * q["rho"] * q["k1"]
+    frac_b, frac_c = q["frac_b"], q["frac_c"]
+    T = frac_b.shape[1]
+    d_tr_rows, d_sig_rows = [], []
+    d_g = jnp.zeros((1, T), jnp.float32)
+    d_camr = jnp.zeros((1, T), jnp.float32)
+    for ch in range(3):
+        ct_ch = ct_ref[0, ch : ch + 1, :]
+        sig = r_row(RF_SIGS + ch)
+        trf_raw = r_row(RF_TR + ch)
+        trf = jnp.maximum(trf_raw, 1e-30)
+        trf_live = (trf_raw > 1e-30).astype(jnp.float32)
+        ps = b_col(BF_PS + ch)
+        pe = b_col(BF_PE + ch)
+        ok = ps > 1e-20
+        ps_s = jnp.where(ok, ps, 1.0)
+        pe_s = jnp.where(ok, jnp.maximum(pe, 1e-12 * ps_s), 1.0)
+        pt = ps_s * jnp.exp(frac_b * jnp.log(pe_s / ps_s)
+                            + frac_c * jnp.log(trf))
+        pt = jnp.where(ok, pt, 0.0)
+        A = w0 * pt
+        d_sig_rows.append(ct_ch * jnp.sum(A, 0, keepdims=True))
+        d_tr_rows.append(ct_ch * sig * jnp.sum(A * frac_c, 0, keepdims=True)
+                         / trf * trf_live)
+        if want_extras:
+            coef = ct_ch * sig
+            d_g = d_g + jnp.sum(
+                coef * (q["base"] * q["k1"] * q["drho_dg"]) * pt, 0,
+                keepdims=True)
+            d_camr = d_camr + jnp.sum(
+                coef * (q["base"] * q["rho"] * q["dk1_dw"]) * pt, 0,
+                keepdims=True)
+    return jnp.concatenate(d_tr_rows + d_sig_rows + [d_g, d_camr], axis=0)
+
+
+def _beam_cols_update(scalars_ref, rays_ref, beams_ref, ct_ref, dbeams_ref,
+                      want_extras):
+    """Accumulate per-beam cotangents (ps/pe/radius) for one pair block
+    into the TRANSPOSED (NB, chunk) dbeams_ref[0] block (same math as the
+    fused body's beam side; one transpose per block)."""
+    q = _pair_quantities(scalars_ref, rays_ref, beams_ref)
+    r_row, b_col = q["r_row"], q["b_col"]
+    w0 = q["base"] * q["rho"] * q["k1"]
+    frac_b, frac_c = q["frac_b"], q["frac_c"]
+    zcol = jnp.zeros((frac_b.shape[0], 1), jnp.float32)
+    d_rad = zcol
+    d_ps_cols, d_pe_cols = [], []
+    for ch in range(3):
+        ct_ch = ct_ref[0, ch : ch + 1, :]
+        sig = r_row(RF_SIGS + ch)
+        trf = jnp.maximum(r_row(RF_TR + ch), 1e-30)
+        ps = b_col(BF_PS + ch)
+        pe = b_col(BF_PE + ch)
+        ok = ps > 1e-20
+        ps_s = jnp.where(ok, ps, 1.0)
+        pe_s = jnp.where(ok, jnp.maximum(pe, 1e-12 * ps_s), 1.0)
+        pt = ps_s * jnp.exp(frac_b * jnp.log(pe_s / ps_s)
+                            + frac_c * jnp.log(trf))
+        pt = jnp.where(ok, pt, 0.0)
+        coef = ct_ch * sig
+        cA = coef * w0 * pt
+        pe_live = (pe > 1e-12 * ps_s).astype(jnp.float32)
+        d_ps_cols.append(jnp.sum(cA * (1.0 - frac_b), 1, keepdims=True)
+                         / ps_s)
+        d_pe_cols.append(jnp.sum(cA * frac_b * pe_live, 1, keepdims=True)
+                         / pe_s)
+        if want_extras:
+            d_rad = d_rad + jnp.sum(
+                coef * (q["base"] * q["rho"] * q["dk1_dw"]) * pt, 1,
+                keepdims=True)
+    upd_b = jnp.concatenate(
+        [zcol] * 6 + d_ps_cols + d_pe_cols + [d_rad, zcol, zcol, zcol], 1)
+    dbeams_ref[0] += jnp.transpose(upd_b)
+
+
+def _sparse_bwd_rays_kernel(idx_ref, scalars_ref, rays_ref, beams_ref,
+                            ct_ref, out_ref, *, n_chunks1, chunk,
+                            want_extras):
+    i = pl.program_id(0)
+    idx = idx_ref[i]
+    sub = idx % n_chunks1
+    prev = jnp.where(i > 0, idx_ref[jnp.maximum(i - 1, 0)], -1)
+
+    @pl.when(idx // n_chunks1 != prev // n_chunks1)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n_valid = scalars_ref[0, 3]
+
+    @pl.when((sub > 0) & (jnp.float32((sub - 1) * chunk) < n_valid))
+    def _():
+        upd = _ray_rows_update(scalars_ref, rays_ref, beams_ref, ct_ref,
+                               want_extras)
+        out_ref[0] = out_ref[0] + upd
+
+
+def _sparse_bwd_beams_kernel(idx_ref, scalars_ref, rays_ref, beams_ref,
+                             ct_ref, out_ref, *, n_tiles1, chunk,
+                             want_extras):
+    i = pl.program_id(0)
+    idx = idx_ref[i]
+    sub = idx % n_tiles1  # 0 = seed, k>0 = ray tile k-1
+    prev = jnp.where(i > 0, idx_ref[jnp.maximum(i - 1, 0)], -1)
+
+    @pl.when(idx // n_tiles1 != prev // n_tiles1)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n_valid = scalars_ref[0, 3]
+    chunk_id = idx // n_tiles1
+
+    @pl.when((sub > 0) & (jnp.float32(chunk_id * chunk) < n_valid))
+    def _():
+        _beam_cols_update(scalars_ref, rays_ref, beams_ref, ct_ref, out_ref,
+                          want_extras)
+
+
+def sparse_block_ids_chunk_major(block_mask: jnp.ndarray, cap: int):
+    """Chunk-major companion of ``pallas_gather.sparse_block_ids``: ids are
+    ``chunk * (n_tiles+1) + (tile+1)`` with per-chunk seed entries, fill
+    entries routed to a dummy chunk row.  Used by the sparse d_beams pass
+    (d_beams blocks revisited consecutively)."""
+    n_chunks, n_tiles = block_mask.shape
+    ext = jnp.concatenate(
+        [jnp.ones((n_chunks, 1), block_mask.dtype), block_mask], 1)
+    flat = ext.ravel()
+    (idx,) = jnp.nonzero(flat, size=n_chunks + cap,
+                         fill_value=n_chunks * (n_tiles + 1))
+    n_live = jnp.sum(block_mask > 0).astype(jnp.int32)
+    return idx.astype(jnp.int32), n_live
+
+
+def pallas_gather_backward_sparse(rays_packed, beams_packed, scalars4,
+                                  ct_packed, tile: int, chunk: int,
+                                  idx_tile_major, idx_chunk_major,
+                                  want_extras: bool = True):
+    """Two-pass sparse backward over live blocks.  Returns
+    (d_rays (n_tiles, 8, T), d_beams (n_chunks, C, NB)); same contract as
+    ``pallas_gather_backward_fused``."""
+    from functools import partial as _partial
+
+    n_tiles = rays_packed.shape[0]
+    n_chunks = beams_packed.shape[0]
+    T = rays_packed.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    n_chunks1 = n_chunks + 1
+    n_tiles1 = n_tiles + 1
+
+    # dummy trailing ray tile / beam chunk for fill entries
+    rays_p = jnp.concatenate(
+        [rays_packed, jnp.zeros((1, NF, T))], 0)
+    ct_p = jnp.concatenate([ct_packed, jnp.zeros((1, 8, T))], 0)
+    beams_p = jnp.concatenate(
+        [beams_packed, jnp.zeros((1, NB, chunk))], 0)
+
+    d_rays = pl.pallas_call(
+        _partial(_sparse_bwd_rays_kernel, n_chunks1=n_chunks1, chunk=chunk,
+                 want_extras=want_extras),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(idx_tile_major.shape[0],),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda i, idx_ref: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, NF, tile),
+                    lambda i, idx_ref: (idx_ref[i] // n_chunks1, 0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, NB, chunk),
+                    lambda i, idx_ref: (
+                        jnp.minimum(
+                            jnp.maximum(idx_ref[i] % n_chunks1 - 1, 0),
+                            n_chunks),
+                        0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 8, tile),
+                    lambda i, idx_ref: (idx_ref[i] // n_chunks1, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, tile),
+                lambda i, idx_ref: (idx_ref[i] // n_chunks1, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles + 1, 8, T), jnp.float32),
+        interpret=interpret,
+    )(idx_tile_major, scalars4, rays_p, beams_p, ct_p)[:n_tiles]
+
+    d_beams = pl.pallas_call(
+        _partial(_sparse_bwd_beams_kernel, n_tiles1=n_tiles1, chunk=chunk,
+                 want_extras=want_extras),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(idx_chunk_major.shape[0],),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda i, idx_ref: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, NF, tile),
+                    lambda i, idx_ref: (
+                        jnp.minimum(
+                            jnp.maximum(idx_ref[i] % n_tiles1 - 1, 0),
+                            n_tiles),
+                        0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, NB, chunk),
+                    lambda i, idx_ref: (idx_ref[i] // n_tiles1, 0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 8, tile),
+                    lambda i, idx_ref: (
+                        jnp.minimum(
+                            jnp.maximum(idx_ref[i] % n_tiles1 - 1, 0),
+                            n_tiles),
+                        0, 0),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, NB, chunk),
+                lambda i, idx_ref: (idx_ref[i] // n_tiles1, 0, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_chunks + 1, NB, chunk),
+                                       jnp.float32),
+        interpret=interpret,
+    )(idx_chunk_major, scalars4, rays_p, beams_p, ct_p)[:n_chunks]
+
+    return d_rays, d_beams
 
 
 def _bwd_rays_kernel(scalars_ref, rays_ref, beams_ref, ct_ref, out_ref):
@@ -456,6 +721,7 @@ def _bwd_beams_kernel(scalars_ref, rays_ref, beams_ref, ct_ref, out_ref):
     w0 = q["base"] * q["rho"] * q["k1"]
 
     d_rad = jnp.zeros_like(q["frac_b"][:, 0:1])
+    d_ps_cols, d_pe_cols = [], []
     for ch in range(3):
         ct_ch = ct_ref[0, ch : ch + 1, :]
         sig = r_row(RF_SIGS + ch)
@@ -465,13 +731,16 @@ def _bwd_beams_kernel(scalars_ref, rays_ref, beams_ref, ct_ref, out_ref):
             b_col(BF_PS + ch), b_col(BF_PE + ch), q["frac_b"]
         )
         coef = ct_ch * sig * w0 * tr_cam  # (C,T)
-        out_ref[0, :, BF_PS + ch] += jnp.sum(coef * dp_dps, 1)
-        out_ref[0, :, BF_PE + ch] += jnp.sum(coef * dp_dpe, 1)
+        d_ps_cols.append(jnp.sum(coef * dp_dps, 1, keepdims=True))
+        d_pe_cols.append(jnp.sum(coef * dp_dpe, 1, keepdims=True))
         d_rad = d_rad + jnp.sum(
             ct_ch * sig * q["base"] * q["rho"] * q["dk1_dw"] * p_at * tr_cam,
             1, keepdims=True,
         )
-    out_ref[0, :, BF_RAD] += d_rad[:, 0]
+    zcol = jnp.zeros_like(d_rad)
+    upd_b = jnp.concatenate(
+        [zcol] * 6 + d_ps_cols + d_pe_cols + [d_rad, zcol, zcol, zcol], 1)
+    out_ref[0] += jnp.transpose(upd_b)
 
 
 def pallas_gather_backward(rays_packed, beams_packed, scalars, ct_packed,
@@ -489,7 +758,7 @@ def pallas_gather_backward(rays_packed, beams_packed, scalars, ct_packed,
         in_specs=[
             pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, NF, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, NB), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, chunk), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -502,11 +771,11 @@ def pallas_gather_backward(rays_packed, beams_packed, scalars, ct_packed,
         in_specs=[
             pl.BlockSpec((1, 3), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, NF, tile), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, chunk), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, tile), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, NB), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks, chunk, NB), jnp.float32),
+        out_specs=pl.BlockSpec((1, NB, chunk), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, NB, chunk), jnp.float32),
         interpret=interpret,
     )(scalars, rays_packed, beams_packed, ct_packed)
     return d_rays, d_beams

@@ -96,29 +96,36 @@ def main():
 
     wh = args.size
     results = {}
-    for kind, eye, at in [("fog", (0, 0, -3.5), (0, 0, 0)),
-                          ("local", (7, 7, -11), (7, 7, 7))]:
-        scene = build_scene(kind)
+    # three regimes: volume-filling fog (dense sweep wins), LOCALIZED beams
+    # (candidate culling wins), and late-progressive fog (radius shrunk
+    # 10x — the sparse-block tier's home turf)
+    regimes = [("fog", (0, 0, -3.5), (0, 0, 0), 0.2),
+               ("local", (7, 7, -11), (7, 7, 7), 0.05),
+               ("fog-smallr", (0, 0, -3.5), (0, 0, 0), 0.02)]
+    for kind, eye, at, radius in regimes:
+        scene = build_scene(kind.split("-")[0])
         cam = make_perspective_camera(tfm.look_at(eye, at, (0, 1, 0)),
                                       45.0, wh, wh)
-        for backend in ("auto", "pallas", "brute", "lbvh"):
+        for backend in ("auto", "pallas", "sparse", "brute", "lbvh"):
             cfg = PhotonBeamConfig(
                 maxdepth=5, photonsperiteration=args.photons,
-                initialbeamradius=0.2 if kind == "fog" else 0.05,
-                gather=backend, gather_chunk=256,
+                initialbeamradius=radius,
+                gather="pallas" if backend == "sparse" else backend,
+                gather_chunk=256,
+                gather_sparse_cap=(1 << 17) if backend == "sparse" else 0,
                 grad_geometry=False, grad_extras=False,
             )
             try:
                 dt = time_iteration(scene, cam, wh, cfg)
             except Exception as e:  # backend illegal for config: report
-                print(f"{kind:6s} {backend:7s} FAILED: {e}", flush=True)
+                print(f"{kind:10s} {backend:7s} FAILED: {e}", flush=True)
                 continue
             rays_s = wh * wh / dt
             results[(kind, backend)] = dt
-            print(f"{kind:6s} {backend:7s} {dt*1e3:9.1f} ms/iter "
+            print(f"{kind:10s} {backend:7s} {dt*1e3:9.1f} ms/iter "
                   f"({rays_s:,.0f} rays/s fwd)", flush=True)
     # auto must match or beat every manual choice (5% tolerance)
-    for kind in ("fog", "local"):
+    for kind, _, _, _ in regimes:
         best = min(v for (k, b), v in results.items() if k == kind)
         auto = results.get((kind, "auto"))
         if auto is not None:

@@ -1,8 +1,11 @@
 """BASELINE config 3: heterogeneous grid-density smoke with anisotropic HG
 phase (g = 0.4), rendered with progressive photon beams.
 
-Run:  python examples/smoke_hetero.py [--size 512] [--iters 8]
-(CPU works at small sizes; the TPU handles 512x512 / 100k photons/iter.)
+Run:  python examples/smoke_hetero.py            # spec shape (BASELINE
+                                                 # config 3): 512^2, 8 x 100k
+      python examples/smoke_hetero.py --size 128 --photons 20000  # CPU smoke
+Measured round 3 (v5e, 1 chip): 512x512, 8 iters x 100k photons in 462.4 s
+total including compile (BASELINE.md).
 """
 import argparse
 import sys
@@ -16,9 +19,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--photons", type=int, default=20000)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--photons", type=int, default=100000)
     ap.add_argument("--outfile", default="smoke_hetero.pfm")
     args = ap.parse_args()
 

@@ -3,6 +3,7 @@ tests/animatedtransform.cpp (randomized motion-bounds containment) plus
 interpolation endpoint/identity checks and a motion-blur render."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from bre_tpu.core import transform as tfm
@@ -112,6 +113,7 @@ def test_motion_bounds_contains_swept_boxes():
             assert (pts.reshape(-1, 3) <= hi + slop).all(), trial
 
 
+@pytest.mark.slow  # multi-minute CPU compile; core coverage lives in the faster tests here
 def test_motion_blur_render():
     """A camera sweeping sideways blurs a sphere edge: the blurred render
     has wider nonzero support along x than the static one."""

@@ -40,6 +40,7 @@ def _sphere_area_light():
     return b.build()
 
 
+@pytest.mark.slow  # 69 s compile; the MIS/machinery tests here stay default
 def test_bdpt_matches_volpath_at_matched_truncation():
     """Unbiasedness: same scene, same maxdepth -> same mean as the oracle."""
     scene = _sphere_point_light()

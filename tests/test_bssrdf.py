@@ -237,6 +237,7 @@ def test_sample_sp_estimator_on_plane():
     np.testing.assert_allclose(est, expect, rtol=0.15)
 
 
+@pytest.mark.slow  # multi-minute CPU compile; core coverage lives in the faster tests here
 def test_subsurface_render_end_to_end():
     """Subsurface sphere renders finite, nonzero, deterministic."""
     from bre_tpu.core import transform as tfm

@@ -3,6 +3,7 @@ mipmap.cpp; Camera::GenerateRayDifferential, camera.cpp;
 SurfaceInteraction::ComputeDifferentials, interaction.cpp)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from bre_tpu.core import transform as tfm
@@ -122,6 +123,7 @@ def test_ewa_anisotropy_preserves_stripes():
     np.testing.assert_allclose(iso.mean(), 0.5, atol=0.08)
 
 
+@pytest.mark.slow  # multi-minute CPU compile; core coverage lives in the faster tests here
 def test_texture_filter_render_antialiases():
     """volpath with texture_filter=True reduces pixel-to-pixel variance on a
     minified checker plane vs point sampling (the aliasing-energy check)."""

@@ -1,6 +1,7 @@
 """whitted/directlighting/ao/sppm smoke + correctness tests."""
 
 import numpy as np
+import pytest
 
 from bre_tpu.core import transform as tfm
 from bre_tpu.integrators.extra import (
@@ -52,6 +53,7 @@ def test_ao_open_plane():
     np.testing.assert_allclose(hit_vals.mean(), 1.0, atol=0.05)
 
 
+@pytest.mark.slow  # 92 s compile; vsppm default tests cover the shared machinery
 def test_sppm_surface_matches_volpath():
     s = _plane_scene()
     wh = 10

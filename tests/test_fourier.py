@@ -131,6 +131,7 @@ def test_fourier_azimuth_dependent_projection():
     assert abs(frac - (0.5 + 0.9 / np.pi)) < 0.05, frac
 
 
+@pytest.mark.slow  # 25 s render; f/pdf/sampling checks stay default
 def test_fourier_material_render_matches_matte():
     """A fourier-tabulated Lambertian renders like the native matte."""
     from bre_tpu.core import transform as tfm

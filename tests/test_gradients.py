@@ -2,6 +2,7 @@
 medium parameters (the BASELINE "image+grad allclose" contract)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def _loss_fn(scene, cam, wh, cfg):
     return jax.jit(loss)
 
 
+@pytest.mark.slow  # 83 s (4 jit graphs); the default-tier FD gates exercise detach_sampling end to end
 def test_detached_sampling_gradients():
     """detach_sampling: the detached differential estimator (sampling density
     frozen, explicit parameter dependence differentiated) must leave the

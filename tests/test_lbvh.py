@@ -76,6 +76,7 @@ def test_lbvh_overflow_counted():
     assert int(ovf[0]) == n - 16
 
 
+@pytest.mark.slow  # multi-minute CPU compile; core coverage lives in the faster tests here
 def test_lbvh_build_under_jit():
     amin, amax = _random_boxes(256, seed=3)
     f = jax.jit(lambda a, b: build_lbvh(a, b, jnp.ones(256, bool)))

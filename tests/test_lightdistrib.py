@@ -77,7 +77,8 @@ def test_sample_all_lights_matches_one_light():
         tfm.look_at((0, 0, 0), (0, 0, 1), (0, 1, 0)), 60.0, 10, 10)
     img_all = render_volpath(
         b.build(), cam, 8, 8,
-        VolPathConfig(maxdepth=9, spp=24, samplealllights=True))
-    # 0.5^9 equilibrium truncation ~0.2%; MC noise dominates the tolerance
+        VolPathConfig(maxdepth=6, spp=24, samplealllights=True))
+    # 0.5^6 equilibrium truncation ~1.6%; MC noise dominates the tolerance
+    # (depth 6 keeps the compile in CI budget — was 158 s at depth 9)
     np.testing.assert_allclose(float(np.asarray(img_all).mean()), 1.0,
                                atol=0.05)

@@ -385,10 +385,11 @@ def test_sparse_block_gather_matches_dense():
     rays = rays.at[:, 9].set(jnp.abs(rays[:, 9]) + 0.5)
     rays = rays.at[:, 10:13].set(jnp.abs(rays[:, 10:13]) * 0.5 + 0.2)
     rays = rays.at[:, 13:16].set(jnp.abs(rays[:, 13:16]))
+    # transposed packed layout (n_chunks, NB, chunk): fields on axis 1
     beams = jnp.asarray(
-        rs.uniform(-1, 1, (n_chunks, C, NB)).astype(np.float32))
-    beams = beams.at[:, :, 6:12].set(jnp.abs(beams[:, :, 6:12]))
-    beams = beams.at[:, :, 12].set(0.3)
+        rs.uniform(-1, 1, (n_chunks, NB, C)).astype(np.float32))
+    beams = beams.at[:, 6:12, :].set(jnp.abs(beams[:, 6:12, :]))
+    beams = beams.at[:, 12, :].set(0.3)
     scal = jnp.array([[0.2, 1.0, 0.05, n_chunks * C * 1.0]], jnp.float32)
     mask = jnp.asarray((rs.rand(n_chunks, n_tiles) > 0.4).astype(np.float32))
     dense = pallas_gather_forward(rays, beams, scal, T, C, block_mask=mask)
@@ -412,6 +413,36 @@ def test_sparse_block_gather_matches_dense():
                              jnp.float32(0.2), **kw, sparse_cap=4096)
     np.testing.assert_allclose(np.asarray(sp), np.asarray(base),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_sparse_backward_matches_dense():
+    """Round-3 two-pass sparse backward (live-block d_beams / d_rays passes)
+    == the dense fused backward, through the packed custom VJP with
+    sparse_cap engaged; and a tiny cap must fall back to the dense branch
+    with identical results."""
+    from bre_tpu.accel.beam_gather import (gather_beams_packed,
+                                           pack_beams_compact)
+
+    beams_s, media, a0, a1, sd, med, trf = _setup(B=512, R=256)
+    W = jnp.asarray(np.random.RandomState(9).rand(256, 3), jnp.float32)
+
+    def loss(ps, pe, trf_, cap):
+        bb = beams_s._replace(power_start=ps, power_end=pe)
+        bp, n_valid = pack_beams_compact(bb, 256)
+        out = gather_beams_packed(bp, n_valid, media, a0, a1, sd, med, trf_,
+                                  jnp.float32(0.2), chunk=256,
+                                  power_scale=1e-3, grad_extras=True,
+                                  sparse_cap=cap)
+        return jnp.sum(out * W)
+
+    args = (beams_s.power_start, beams_s.power_end, trf)
+    g_dense = jax.grad(loss, argnums=(0, 1, 2))(*args, 0)
+    g_sparse = jax.grad(loss, argnums=(0, 1, 2))(*args, 4096)
+    g_fallback = jax.grad(loss, argnums=(0, 1, 2))(*args, 1)  # cap too small
+    for xd, xs, xf in zip(g_dense, g_sparse, g_fallback):
+        xd, xs, xf = np.asarray(xd), np.asarray(xs), np.asarray(xf)
+        assert np.abs(xd - xs).max() <= 2e-4 * (np.abs(xd).max() + 1e-9)
+        assert np.abs(xd - xf).max() <= 2e-4 * (np.abs(xd).max() + 1e-9)
 
 
 def test_sparse_block_gather_hetero():

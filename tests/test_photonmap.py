@@ -1,6 +1,7 @@
 """photonmap integrator: classification + density-estimate correctness."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from bre_tpu.core import transform as tfm
@@ -34,6 +35,7 @@ def test_photon_classification():
     assert pw.max() <= 4 * np.pi / 2000 * 10  # I=2 -> beta ~ 4*pi*2/2000
 
 
+@pytest.mark.slow  # 175 s compile; classification + finite checks stay default
 def test_photonmap_volume_matches_volpath():
     s = fog_cube_scene(sigma_a=0.05, sigma_s=0.4, intensity=1.0).build()
     wh = 12

@@ -78,6 +78,27 @@ TINY_CFG = PhotonBeamConfig(
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_gradients_fast_tier():
+    """Default-tier sharded GRADIENT path (VERDICT round-2 item 6): the full
+    inverse train step — photons sharded, beams all-gathered, pixel loss,
+    psum'd medium-parameter grads — at tiny shapes, every run."""
+    scene, cam = _setup()
+    step = make_inverse_train_step(scene, cam, 8, 8, TINY_CFG, make_mesh(8))
+    params = dict(
+        sigma_a=scene.media.sigma_a,
+        sigma_s=scene.media.sigma_s,
+        g=scene.media.g,
+        density=scene.media.density,
+    )
+    target = jnp.zeros((64, 3))
+    loss, grads = step(params, target, jnp.uint32(0), jnp.float32(0.4))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    for k in ["sigma_a", "sigma_s", "g"]:
+        assert np.isfinite(np.asarray(grads[k])).all(), k
+    assert float(np.asarray(grads["sigma_s"]).sum()) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_mesh_path_fast_tier():
     """Fast-CI tier (not slow-gated): the default suite must exercise the
     shard_map photon/pixel decomposition on the 8-device mesh every run.
