@@ -260,7 +260,11 @@ def camera_pass_by_pixels(
                     total_blocks = n_chunks_est * max(1, R // 256)
                     sparse_cap = min(total_blocks // 4, 1 << 17)
 
-                def _gather_rays(o_, e_, d_, med_, tr_):
+                def _gather_rays(o_, e_, d_, med_, tr_, cap=0):
+                    # `cap` engages the sparse tier ONLY on the full-R sweep
+                    # (the compacted-budget tiers already run one or two
+                    # 256-lane tiles, where block sparsity buys nothing and
+                    # the dual-regime would double their compile)
                     if use_packed:
                         return gather_beams_packed(
                             beams_packed, n_valid_beams, scene.media,
@@ -268,7 +272,7 @@ def camera_pass_by_pixels(
                             chunk=cfg.gather_chunk,
                             power_scale=1.0 / float(photons_per_iter),
                             grad_extras=cfg.grad_extras,
-                            sparse_cap=sparse_cap,
+                            sparse_cap=cap,
                         )
                     return gather_beams_bruteforce(
                         beams,
@@ -290,7 +294,8 @@ def camera_pass_by_pixels(
                     )
 
                 def _do_full(_):
-                    return _gather_rays(o, p_seg_end, d, medium, tr_seg)
+                    return _gather_rays(o, p_seg_end, d, medium, tr_seg,
+                                        cap=sparse_cap)
 
                 # Post-bounce depths usually have only a few rays back inside
                 # the volume (bench scene: 15290 / 102 / 1845 in-medium rays

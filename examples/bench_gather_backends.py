@@ -88,6 +88,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--photons", type=int, default=50000)
+    ap.add_argument("--only", default=None,
+                    help="run a single '<scene>:<backend>' combination "
+                         "(crash isolation on shared hardware)")
     args = ap.parse_args()
 
     from bre_tpu.core import transform as tfm
@@ -107,6 +110,8 @@ def main():
         cam = make_perspective_camera(tfm.look_at(eye, at, (0, 1, 0)),
                                       45.0, wh, wh)
         for backend in ("auto", "pallas", "sparse", "brute", "lbvh"):
+            if args.only and args.only != f"{kind}:{backend}":
+                continue
             cfg = PhotonBeamConfig(
                 maxdepth=5, photonsperiteration=args.photons,
                 initialbeamradius=radius,

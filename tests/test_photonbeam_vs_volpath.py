@@ -49,17 +49,19 @@ def test_bre_matches_volpath_fog_cube():
     cam = make_perspective_camera(
         tfm.look_at((0, 0, -3.5), (0, 0, 0), (0, 1, 0)), 40.0, wh, wh
     )
-    # maxdepth 6 (0.4/0.45 albedo -> <1% truncation differences affect both
-    # estimators identically); halves the unrolled compile vs depth 8
-    truth = render_volpath(s, cam, wh, wh, VolPathConfig(maxdepth=6, spp=320))
+    # NOTE: depth/iteration shrinks were tried for tier speed and REVERTED —
+    # at maxdepth 6 the estimators truncate differently (photon depth +
+    # camera bounces vs one path budget) and the bright center region
+    # drifted to +16%; this is the core gate, it keeps its full shape.
+    truth = render_volpath(s, cam, wh, wh, VolPathConfig(maxdepth=8, spp=384))
     est, _ = render_photonbeam(
         s,
         cam,
         wh,
         wh,
         PhotonBeamConfig(
-            iterations=20,
-            maxdepth=6,
+            iterations=24,
+            maxdepth=8,
             photonsperiteration=12000,
             initialbeamradius=0.05,
             alpha=0.5,

@@ -87,3 +87,58 @@ def test_smooth_mesh_shading_varies_in_render():
     # shading differs measurably but total energy stays comparable
     assert np.abs(img_s - img_f).max() > 0.01
     assert 0.5 < img_s.mean() / img_f.mean() < 2.0
+
+
+def test_correct_shading_normal_factor_nonunity():
+    """CorrectShadingNormal regression in importance transport on a BENT
+    shading normal (the factor != 1 case, bdpt.h:68-86 / bdpt.cpp:55-66):
+    BDPT's Vertex::f in MODE_IMPORTANCE must carry exactly
+    |wo.ns||wi.ng| / (|wo.ng||wi.ns|) relative to MODE_RADIANCE."""
+    import jax.numpy as jnp
+
+    from bre_tpu.integrators.bdpt import VT_SURFACE, VertexB, _vertex_f
+    from bre_tpu.materials import MODE_IMPORTANCE, MODE_RADIANCE
+    from bre_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    b.matte((0.6, 0.6, 0.6))
+    scene = b.build()
+
+    n_g = np.array([[0.0, 0.0, 1.0]], np.float32)           # geometric
+    n_s = np.array([[0.35, 0.0, 0.936749]], np.float32)      # bent shading
+    wo = np.array([[0.0, 0.5, 0.8660254]], np.float32)
+    p = np.zeros((1, 3), np.float32)
+    to_p = np.array([[0.4, -0.2, 0.8]], np.float32)
+
+    def vert(ns):
+        return VertexB(
+            valid=jnp.ones((1,), bool),
+            vtype=jnp.full((1,), VT_SURFACE, jnp.int32),
+            p=jnp.asarray(p), n=jnp.asarray(n_g), ns=jnp.asarray(ns),
+            beta=jnp.ones((1, 3)), pdf_fwd=jnp.ones((1,)),
+            pdf_rev=jnp.zeros((1,)), delta=jnp.zeros((1,), bool),
+            connectible=jnp.ones((1,), bool),
+            mat=jnp.zeros((1,), jnp.int32), med=jnp.full((1,), -1, jnp.int32),
+            area_light=jnp.full((1,), -1, jnp.int32),
+            light_idx=jnp.full((1,), -1, jnp.int32),
+            wo=jnp.asarray(wo),
+        )
+
+    wi = to_p / np.linalg.norm(to_p)
+    f_rad = np.asarray(_vertex_f(scene, vert(n_s), jnp.asarray(to_p),
+                                 MODE_RADIANCE))
+    f_imp = np.asarray(_vertex_f(scene, vert(n_s), jnp.asarray(to_p),
+                                 MODE_IMPORTANCE))
+    num = abs(float(wo @ n_s.T)) * abs(float(wi @ n_g.T))
+    den = abs(float(wo @ n_g.T)) * abs(float(wi @ n_s.T))
+    expected = num / den
+    assert abs(expected - 1.0) > 0.05  # genuinely non-unity configuration
+    ratio = f_imp[0, 0] / f_rad[0, 0]
+    np.testing.assert_allclose(ratio, expected, rtol=1e-5)
+
+    # faceted (ns == ng): factor is identically 1
+    f_imp_flat = np.asarray(_vertex_f(scene, vert(n_g), jnp.asarray(to_p),
+                                      MODE_IMPORTANCE))
+    f_rad_flat = np.asarray(_vertex_f(scene, vert(n_g), jnp.asarray(to_p),
+                                      MODE_RADIANCE))
+    np.testing.assert_allclose(f_imp_flat, f_rad_flat, rtol=1e-6)
