@@ -131,7 +131,10 @@ def main():
                   f"({rays_s:,.0f} rays/s fwd)", flush=True)
     # auto must match or beat every manual choice (5% tolerance)
     for kind, _, _, _ in regimes:
-        best = min(v for (k, b), v in results.items() if k == kind)
+        timed = [v for (k, b), v in results.items() if k == kind]
+        if not timed:
+            continue  # --only runs skip the cross-backend summary
+        best = min(timed)
         auto = results.get((kind, "auto"))
         if auto is not None:
             ok = auto <= best * 1.05
