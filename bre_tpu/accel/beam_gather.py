@@ -191,16 +191,21 @@ HETERO_NODES = 8  # quadrature nodes per segment in heterogeneous mode
 
 
 def medium_interval_nodes(media: Media, med_idx, p0, p1, K: int = HETERO_NODES):
-    """Per-interval optical thickness + node densities for a batch of
-    segments (N,3)->(N,3): ``taud`` (N,K,3) = sigma_t * density * len/K at K
-    midpoints, ``dens`` (N,K) the trilinear density (1 for non-grid media).
+    """Factored per-interval node tables for a batch of segments
+    (N,3)->(N,3): returns ``(dk, dens, sigma_t)`` where ``dk`` (N,K) is
+    density * len/K at K midpoints (0 outside the medium), ``dens`` (N,K)
+    the trilinear density (1 for non-grid media), and ``sigma_t`` (N,3) the
+    segment medium's constant extinction.
 
     The heterogeneous gather evaluates transmittance and sigma_s at the
     closest point from these tables instead of endpoint exponential
     interpolation (exact only for homogeneous decay — VERDICT round-1 item 3;
     reference semantics: GridDensityMedium Tr, media/grid.cpp:89-120, where
-    sigma_s(x) = sigma_s * density(x)).  Piecewise evaluation is gather-free:
-    tau(f) = sum_k taud_k * clamp(f*K - k, 0, 1).
+    sigma_t(x) = sigma_t * density(x)).  Because the grid scales a CONSTANT
+    sigma_t by a scalar density, the optical thickness factors exactly:
+    tau_ch(f) = sigma_t[ch] * D(f), D(f) = sum_k dk_k * clamp(f*K - k, 0, 1)
+    — one scalar clamp-sum shared by all 3 channels per pair (the kernels'
+    per-pair tau cost drops ~3x vs per-channel K x 3 tables).
     """
     from ..media import gather_medium, grid_density
 
@@ -218,22 +223,22 @@ def medium_interval_nodes(media: Media, med_idx, p0, p1, K: int = HETERO_NODES):
         dens = jnp.where(is_grid[:, None], dens, 1.0)
     else:
         dens = jnp.ones(seg_len.shape + (K,), jnp.float32)
-    taud = sigma_t[:, None, :] * (dens * (seg_len / K)[:, None])[:, :, None]
-    taud = jnp.where(in_med[:, None, None], taud, 0.0)
+    dk = dens * (seg_len / K)[:, None]
+    dk = jnp.where(in_med[:, None], dk, 0.0)
     dens = jnp.where(in_med[:, None], dens, 1.0)
-    return taud, dens
+    return dk, dens, sigma_t
 
 
-def _tau_at(taud, frac):
-    """Cumulative optical depth at fractional position ``frac`` from
-    per-interval thicknesses.  taud: (N,K,3) broadcastable against frac
-    (..., N); returns (...,3)-shaped tau via K fused clamps (no gathers)."""
-    K = taud.shape[-2]
-    fK = frac[..., None] * K  # (...,1)
+def _D_at(dk, frac):
+    """Cumulative density-length at fractional position ``frac`` from
+    per-interval scalar nodes.  dk: (N,K) broadcastable against frac
+    (..., N); returns (...)-shaped D via K fused clamps (no gathers).
+    tau_ch = sigma_t[ch] * D (medium_interval_nodes factorization)."""
+    K = dk.shape[-1]
+    fK = frac * K
     acc = 0.0
     for k in range(K):
-        w = jnp.clip(fK - k, 0.0, 1.0)
-        acc = acc + taud[..., k, :] * w
+        acc = acc + dk[..., k] * jnp.clip(fK - k, 0.0, 1.0)
     return acc
 
 
@@ -337,7 +342,7 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
         contrib = w[..., None] * c_pe
     else:
         # physically normalized 1D-1D BRE
-        hetero = "tau_cam_nodes" in seg  # static (dict structure)
+        hetero = "dk_cam_nodes" in seg  # static (dict structure)
         beam_len = jnp.maximum(length(c_end - c_start), 1e-30)
         b_dirn = (c_end - c_start) / beam_len[..., None]
         t_b = jnp.sum((pb - c_start) * b_dirn, -1)
@@ -345,13 +350,16 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
         t_c = jnp.sum((pa - seg["a0"][:, None, :]) * seg["dir"][:, None, :], -1)
         frac_c = jnp.clip(t_c / seg["len"][:, None], 0.0, 1.0)
         if hetero:
-            # Heterogeneous media: transmittance and sigma_s from per-segment
-            # quadrature node tables (medium_interval_nodes) — endpoint
-            # exponential interpolation is exact only for uniform extinction,
-            # and sigma_s at the gather point carries the local density
-            # (grid.cpp:46-60; VERDICT round-1 item 3).
-            p_at = c_ps * jnp.exp(-_tau_at(cb["tau_nodes"][None], frac_b))
-            tr_cam = jnp.exp(-_tau_at(seg["tau_cam_nodes"][:, None], frac_c))
+            # Heterogeneous media: transmittance and sigma_s from factored
+            # per-segment quadrature node tables (medium_interval_nodes;
+            # tau_ch = sigma_t[ch] * D) — endpoint exponential interpolation
+            # is exact only for uniform extinction, and sigma_s at the
+            # gather point carries the local density (grid.cpp:46-60;
+            # VERDICT round-1 item 3).
+            Db = _D_at(cb["dk_nodes"][None], frac_b)  # (R,C)
+            p_at = c_ps * jnp.exp(-Db[..., None] * cb["sigma_t_b"][None])
+            Dc = _D_at(seg["dk_cam_nodes"][:, None], frac_c)
+            tr_cam = jnp.exp(-Dc[..., None] * seg["sigma_t_cam"][:, None, :])
             dens_c = _dens_at(seg["dens_cam_nodes"][:, None], frac_c)  # (R,C)
             sigs = seg["sigma_s"][:, None, :] * dens_c[..., None]
         else:
@@ -488,7 +496,7 @@ def _pallas_forward(cfg, pb, seg):
     chunk = _effective_chunk(chunk, pb["radius"].shape[0])
     pb, seg = _fold_kernel_inputs(pb, seg, power_scale)
     R = seg["a0"].shape[0]
-    tile = _pallas_tile(chunk, hetero="tau_cam_nodes" in seg)
+    tile = _pallas_tile(chunk, hetero="dk_cam_nodes" in seg)
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {
@@ -538,7 +546,7 @@ def _gather_bwd_pallas(cfg, res, ct):
     kernel, chunk, n_chunks, power_scale, min_sin, grad_geom, grad_extras = cfg
     pb_res, _seg_res = res
     if (grad_geom or kernel != KERNEL_BRE or not PALLAS_BWD_ENABLED
-            or "tau_nodes" in pb_res):  # hetero: XLA recompute backward
+            or "dk_nodes" in pb_res):  # hetero: XLA recompute backward
         return _gather_bwd(cfg, res, ct)
     from ..ops.pallas_gather import pack_beams, pack_rays
     from ..ops.pallas_gather_bwd import (
@@ -713,12 +721,14 @@ def gather_beams_bruteforce(
     )
     if hetero and kernel == KERNEL_BRE:
         bm = beams_medium if beams_medium is not None else beams.medium
-        taud_b, _ = medium_interval_nodes(media, bm, beams.start, beams.end,
-                                          K=het_k)
-        pb["tau_nodes"] = pad(taud_b)
-        taud_c, dens_c = medium_interval_nodes(media, seg_medium, seg_a0,
-                                               seg_a1, K=het_k)
-        seg["tau_cam_nodes"] = taud_c
+        dk_b, _, sigt_b = medium_interval_nodes(media, bm, beams.start,
+                                                beams.end, K=het_k)
+        pb["dk_nodes"] = pad(dk_b)
+        pb["sigma_t_b"] = pad(sigt_b)
+        dk_c, dens_c, sigt_c = medium_interval_nodes(media, seg_medium,
+                                                     seg_a0, seg_a1, K=het_k)
+        seg["dk_cam_nodes"] = dk_c
+        seg["sigma_t_cam"] = sigt_c
         seg["dens_cam_nodes"] = dens_c
         # Pallas forward carries the node tables (NF_HET/NB_HET layouts);
         # the backward stays on the XLA chunk-recompute VJP, which chains
@@ -799,13 +809,14 @@ def _inverse_permutation(order):
     return jax.lax.stop_gradient(jnp.argsort(order))
 
 
-def pack_beams_compact(beams, chunk: int, tau_nodes=None):
+def pack_beams_compact(beams, chunk: int, dk_nodes=None, sigma_t=None):
     """Validity-compact and pack a Beams SoA into the Pallas chunk layout.
     Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar).
 
-    ``tau_nodes`` (B, K, 3): heterogeneous per-beam optical-thickness node
-    tables (medium_interval_nodes) — appended as NB_HET-NB extra columns,
-    permuted/padded with the same single row gather.
+    ``dk_nodes`` (B, K) + ``sigma_t`` (B, 3): heterogeneous per-beam
+    factored node tables (medium_interval_nodes; tau_ch = sigma_t[ch]*D) —
+    appended as NB_HET-NB extra columns, permuted/padded with the same
+    single row gather.
 
     The fields are stacked into ONE (B, NB) matrix *before* the compaction
     permute, so the whole compaction is a single row gather (and its backward
@@ -853,12 +864,13 @@ def pack_beams_compact(beams, chunk: int, tau_nodes=None):
         zeros,
         zeros,
     ]
-    if tau_nodes is not None:
+    if dk_nodes is not None:
         from ..ops.pallas_gather import HET_K
 
+        for k in range(HET_K):
+            cols.append(dk_nodes[:, k])
         for ch in range(3):
-            for k in range(HET_K):
-                cols.append(tau_nodes[:, k, ch])
+            cols.append(sigma_t[:, ch])
     # FIELD-MAJOR (nb, B) stacking: with the field axis minor, both the
     # stacked matrix and the packed chunks pay XLA's (8,128) lane padding
     # (16 -> 128, an 8x HBM blowup that OOM'd the 7M-beam spec backward);
@@ -960,8 +972,8 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
     Pure slices/reshapes: jax.vjp chains cotangents back to the packed
     layout automatically."""
     from ..ops.pallas_gather import (
-        BF_TAU, HET_K, RF_A0, RF_A1, RF_DENSC, RF_DIR, RF_G, RF_INMED,
-        RF_LEN, RF_SIGS, RF_TAUC, RF_TR)
+        BF_DK, BF_SIGT, HET_K, RF_A0, RF_A1, RF_DENSC, RF_DIR, RF_DKC, RF_G,
+        RF_INMED, RF_LEN, RF_SIGS, RF_SIGTC, RF_TR)
 
     nch, nb, C = beams_packed.shape  # transposed layout (n_chunks, NB, chunk)
     flat = beams_packed.transpose(1, 0, 2).reshape(nb, nch * C)
@@ -969,8 +981,8 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
         start=flat[0:3].T, end=flat[3:6].T,
         power_start=flat[6:9].T, power_end=flat[9:12].T,
         radius=flat[12], valid_f=flat[13],
-        tau_nodes=flat[BF_TAU:BF_TAU + 3 * HET_K]
-        .reshape(3, HET_K, -1).transpose(2, 1, 0),
+        dk_nodes=flat[BF_DK:BF_DK + HET_K].T,
+        sigma_t_b=flat[BF_SIGT:BF_SIGT + 3].T,
     )
     n_tiles, nf, T = rays_packed.shape
     rflat = rays_packed.transpose(1, 0, 2).reshape(nf, n_tiles * T)
@@ -987,8 +999,8 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
         sigma_s=rflat[RF_SIGS:RF_SIGS + 3].T,
         g=rflat[RF_G],
         in_med_f=jnp.ones_like(rflat[RF_INMED]),
-        tau_cam_nodes=rflat[RF_TAUC:RF_TAUC + 3 * HET_K]
-        .reshape(3, HET_K, -1).transpose(2, 1, 0),
+        dk_cam_nodes=rflat[RF_DKC:RF_DKC + HET_K].T,
+        sigma_t_cam=rflat[RF_SIGTC:RF_SIGTC + 3].T,
         dens_cam_nodes=rflat[RF_DENSC:RF_DENSC + HET_K].T,
     )
     return pb, seg
@@ -1076,15 +1088,17 @@ def _packed_bwd(cfg, res, ct):
             want_extras=grad_extras, block_mask=scal.get("block_mask"))
     d_rays = jnp.zeros_like(rays_packed)
     if hetero:
-        # hetero rows: sigma_s + camera tau/density node tables + g
-        # (DR_TR rows are identically zero — transmittance rides the taus)
-        from ..ops.pallas_gather import RF_DENSC, RF_TAUC
-        from ..ops.pallas_gather_bwd import DR_DENS, DR_TAUC
+        # hetero rows: sigma_s + camera factored node tables + g
+        # (DR_TR rows are identically zero — transmittance rides the tables)
+        from ..ops.pallas_gather import RF_DENSC, RF_DKC, RF_SIGTC
+        from ..ops.pallas_gather_bwd import DR_DENS, DR_DKC, DR_SIGTC
 
         d_rays = d_rays.at[:, RF_SIGS:RF_SIGS + 3, :].set(
             d_rays8[:, DR_SIGS:DR_SIGS + 3, :])
-        d_rays = d_rays.at[:, RF_TAUC:RF_TAUC + 24, :].set(
-            d_rays8[:, DR_TAUC:DR_TAUC + 24, :])
+        d_rays = d_rays.at[:, RF_DKC:RF_DKC + 8, :].set(
+            d_rays8[:, DR_DKC:DR_DKC + 8, :])
+        d_rays = d_rays.at[:, RF_SIGTC:RF_SIGTC + 3, :].set(
+            d_rays8[:, DR_SIGTC:DR_SIGTC + 3, :])
         d_rays = d_rays.at[:, RF_DENSC:RF_DENSC + 8, :].set(
             d_rays8[:, DR_DENS:DR_DENS + 8, :])
         d_rays = d_rays.at[:, RF_G:RF_G + 1, :].set(
@@ -1162,9 +1176,10 @@ def gather_beams_packed(
         # camera-side quadrature node tables (geometry detached, medium
         # parameters attached) — the beam-side tables were packed once per
         # camera pass by pack_beams_compact
-        taud_c, dens_c = medium_interval_nodes(
+        dk_c, dens_c, sigt_c = medium_interval_nodes(
             media, seg_medium, sgg(seg_a0), sgg(seg_a1))
-        seg["tau_cam_nodes"] = taud_c
+        seg["dk_cam_nodes"] = dk_c
+        seg["sigma_t_cam"] = sigt_c
         seg["dens_cam_nodes"] = dens_c
     def packed_call(seg_in, tile, cap):
         """Pad rays to ``tile``, pack, compute the chunk x tile mask, and run

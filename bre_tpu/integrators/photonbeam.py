@@ -159,14 +159,14 @@ def camera_pass_by_pixels(
         bmin, bmax = beam_aabbs(beams, beam_radius)
         bvh = build_lbvh(bmin, bmax, beams.valid)
     elif use_packed:
-        tau_b = None
+        dk_b = sigt_b = None
         if hetero:
             from ..accel.beam_gather import medium_interval_nodes
 
-            tau_b, _ = medium_interval_nodes(
+            dk_b, _, sigt_b = medium_interval_nodes(
                 scene.media, beams.medium, beams.start, beams.end)
         beams_packed, n_valid_beams = pack_beams_compact(
-            beams, cfg.gather_chunk, tau_nodes=tau_b)
+            beams, cfg.gather_chunk, dk_nodes=dk_b, sigma_t=sigt_b)
     elif cfg.rendermedia:
         # one validity sort serves every depth step's gather (compact_beams)
         beams = compact_beams(beams)

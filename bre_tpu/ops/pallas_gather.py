@@ -61,14 +61,21 @@ BF_VALID = 13
 NB = 16  # padded
 
 # heterogeneous-media node tables (beam_gather.medium_interval_nodes):
-# K=8 per-interval optical thicknesses per channel + camera node densities.
+# the per-interval optical thicknesses factor EXACTLY as
+# tau_ch(f) = sigma_t[ch] * D(f), D(f) = sum_k dk[k] * clip(f*K - k, 0, 1),
+# because grid media scale a CONSTANT sigma_t by a scalar density field
+# (media/grid.cpp:46-60) — so the kernels carry K SCALAR density-length
+# nodes + one sigma_t 3-vector per segment instead of K x 3 tau tables:
+# ~3x less per-pair clamp-sum work and 24 -> 11 extension rows/cols of DMA.
 # Extended layouts NF_HET/NB_HET are selected by the packed input shapes.
 HET_K = 8
-RF_TAUC = NF            # 24 rows: channel-major, RF_TAUC + ch*HET_K + k
-RF_DENSC = NF + 24      # 8 rows: camera node densities
-NF_HET = NF + 32        # 50
-BF_TAU = NB             # 24 cols: BF_TAU + ch*HET_K + k
-NB_HET = NB + 24        # 40
+RF_DKC = NF             # 8 rows: camera density-length nodes dk_cam[k]
+RF_SIGTC = NF + 8       # 3 rows: camera-medium sigma_t rgb
+RF_DENSC = NF + 11      # 8 rows: camera node densities
+NF_HET = NF + 19        # 37
+BF_DK = NB              # 8 cols: beam density-length nodes dk[k]
+BF_SIGT = NB + 8        # 3 cols: beam-medium sigma_t rgb
+NB_HET = NB + 11        # 27
 
 
 def _interp_power_k(ps, pe, frac):
@@ -201,22 +208,23 @@ def _pair_block_update(rays_ref, beams_ref, cam_radius, min_sin,
         for k in range(HET_K):
             dens_c = dens_c + r_row(RF_DENSC + k) * jnp.clip(
                 1.0 - jnp.abs(x - k), 0.0, 1.0)
+        # factored transmittance (see layout comment): ONE scalar clamp-sum
+        # per side shared by all 3 channels — tau_ch = sigt_ch * D
+        fb = t_cl * HET_K
+        fc = frac_c * HET_K
+        Db = jnp.zeros_like(t_cl)
+        Dc = jnp.zeros_like(t_cl)
+        for k in range(HET_K):
+            Db = Db + b_col(BF_DK + k) * jnp.clip(fb - k, 0.0, 1.0)
+            Dc = Dc + r_row(RF_DKC + k) * jnp.clip(fc - k, 0.0, 1.0)
 
     rows = []
     for ch in range(3):
         if hetero:
             # heterogeneous media: beam power decay and camera
-            # transmittance from per-interval optical thicknesses
-            # (beam_gather._tau_at), ONE exp for both:
-            # pt = ps * exp(-tau_beam(frac_b) - tau_cam(frac_c))
-            fb = t_cl * HET_K
-            fc = frac_c * HET_K
-            tau = jnp.zeros_like(t_cl)
-            for k in range(HET_K):
-                tau = tau + b_col(BF_TAU + ch * HET_K + k) * jnp.clip(
-                    fb - k, 0.0, 1.0)
-                tau = tau + r_row(RF_TAUC + ch * HET_K + k) * jnp.clip(
-                    fc - k, 0.0, 1.0)
+            # transmittance via the factored node tables, ONE exp for both:
+            # pt = ps * exp(-sigt_b[ch]*D_beam(frac_b) - sigt_c[ch]*D_cam(frac_c))
+            tau = b_col(BF_SIGT + ch) * Db + r_row(RF_SIGTC + ch) * Dc
             pt = b_col(BF_PS + ch) * jnp.exp(-tau)
             contrib = w * pt * (r_row(RF_SIGS + ch) * dens_c)  # (C,T)
         else:
@@ -309,11 +317,13 @@ def pack_rays(seg: dict, tile: int) -> jnp.ndarray:
         seg["g"],
         seg["in_med_f"],
     ]
-    if "tau_cam_nodes" in seg:  # heterogeneous extension rows
-        taud = seg["tau_cam_nodes"]  # (R, K, 3)
+    if "dk_cam_nodes" in seg:  # heterogeneous extension rows
+        dk = seg["dk_cam_nodes"]  # (R, K)
+        for k in range(HET_K):
+            rows.append(dk[:, k])
+        sigt = seg["sigma_t_cam"]  # (R, 3)
         for ch in range(3):
-            for k in range(HET_K):
-                rows.append(taud[:, k, ch])
+            rows.append(sigt[:, ch])
         dens = seg["dens_cam_nodes"]  # (R, K)
         for k in range(HET_K):
             rows.append(dens[:, k])
@@ -339,11 +349,13 @@ def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
         jnp.zeros_like(pb["radius"]),
         jnp.zeros_like(pb["radius"]),
     ]
-    if "tau_nodes" in pb:  # heterogeneous extension rows
-        taud = pb["tau_nodes"]  # (Bp, K, 3)
+    if "dk_nodes" in pb:  # heterogeneous extension rows
+        dk = pb["dk_nodes"]  # (Bp, K)
+        for k in range(HET_K):
+            cols.append(dk[:, k])
+        sigt = pb["sigma_t_b"]  # (Bp, 3)
         for ch in range(3):
-            for k in range(HET_K):
-                cols.append(taud[:, k, ch])
+            cols.append(sigt[:, ch])
     nb = len(cols)
     packed = jnp.stack(cols, 0)  # (nb, Bp) — field-major, no padded axis
     return packed.reshape(nb, n_chunks, chunk).transpose(1, 0, 2)

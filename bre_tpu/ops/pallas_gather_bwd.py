@@ -30,10 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_gather import (
     BF_B0,
     BF_B1,
+    BF_DK,
     BF_PE,
     BF_PS,
     BF_RAD,
-    BF_TAU,
+    BF_SIGT,
     BF_VALID,
     HET_K,
     NB,
@@ -44,11 +45,12 @@ from .pallas_gather import (
     RF_A1,
     RF_DENSC,
     RF_DIR,
+    RF_DKC,
     RF_G,
     RF_INMED,
     RF_LEN,
     RF_SIGS,
-    RF_TAUC,
+    RF_SIGTC,
     RF_TR,
 )
 
@@ -59,10 +61,11 @@ DR_G = 6
 DR_CAMR = 7  # per-ray partial of d cam_radius
 # heterogeneous extension rows (n_tiles, NDR_HET, T): camera-side node
 # cotangents follow the homogeneous 8 (DR_TR rows stay zero — hetero
-# transmittance lives in the tau tables)
-DR_TAUC = 8             # 24 rows: DR_TAUC + ch*HET_K + k
-DR_DENS = DR_TAUC + 24  # 8 rows: d dens_cam_nodes[k]
-NDR_HET = 40
+# transmittance lives in the factored node tables, pallas_gather layout)
+DR_DKC = 8              # 8 rows: d dk_cam_nodes[k]
+DR_SIGTC = DR_DKC + 8   # 3 rows: d sigma_t_cam rgb
+DR_DENS = DR_SIGTC + 3  # 8 rows: d dens_cam_nodes[k]
+NDR_HET = 27
 
 
 def _pair_quantities(scalars_ref, rays_ref, beams_ref):
@@ -258,40 +261,46 @@ def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
     for k in range(HET_K):
         dens_c = dens_c + r_row(RF_DENSC + k) * hat(k)
 
+    # factored transmittance (pallas_gather layout comment): tau_ch =
+    # sigt_b[ch]*Db + sigt_c[ch]*Dc — ONE scalar clamp-sum per side
+    Db = jnp.zeros_like(frac_b)
+    Dc = jnp.zeros_like(frac_b)
+    for k in range(HET_K):
+        Db = Db + b_col(BF_DK + k) * jnp.clip(fb - k, 0.0, 1.0)
+        Dc = Dc + r_row(RF_DKC + k) * jnp.clip(fc - k, 0.0, 1.0)
+
     T = frac_b.shape[1]
     C = frac_b.shape[0]
     zcol = jnp.zeros((C, 1), jnp.float32)
     d_sig_rows = []
-    d_tauc_rows = [None] * 24
+    d_sigtc_rows = []
     d_ps_cols = []
-    d_taub_cols = [None] * 24
+    d_sigtb_cols = []
     d_g = jnp.zeros((1, T), jnp.float32)
     d_camr = jnp.zeros((1, T), jnp.float32)
     d_rad = zcol
     cw_sum = jnp.zeros_like(frac_b)  # sum_ch ct*w0*pt*sig (for dens nodes)
+    mDb = jnp.zeros_like(frac_b)  # sum_ch cA*sigt_b[ch] (for dk_b nodes)
+    mDc = jnp.zeros_like(frac_b)  # sum_ch cA*sigt_c[ch] (for dk_c nodes)
     for ch in range(3):
         ct_ch = ct_ref[0, ch : ch + 1, :]  # (1,T)
         sig = r_row(RF_SIGS + ch)
         ps = b_col(BF_PS + ch)
-        tau = jnp.zeros_like(frac_b)
-        for k in range(HET_K):
-            tau = tau + b_col(BF_TAU + ch * HET_K + k) * jnp.clip(
-                fb - k, 0.0, 1.0)
-            tau = tau + r_row(RF_TAUC + ch * HET_K + k) * jnp.clip(
-                fc - k, 0.0, 1.0)
-        decay = jnp.exp(-tau)
+        stb = b_col(BF_SIGT + ch)  # (C,1)
+        stc = r_row(RF_SIGTC + ch)  # (1,T)
+        decay = jnp.exp(-(stb * Db + stc * Dc))
         pt = ps * decay  # (C,T)
 
         # cB = d contrib / d ps ; cA = ct * contrib (pair weight)
         cB = ct_ch * (w0 * sig * dens_c) * decay
         cA = cB * ps
         d_ps_cols.append(jnp.sum(cB, 1, keepdims=True))
-        # tau cotangents: d contrib / d tau_node = -cA * clip(f - k, 0, 1)
-        for k in range(HET_K):
-            d_taub_cols[ch * HET_K + k] = jnp.sum(
-                -cA * jnp.clip(fb - k, 0.0, 1.0), 1, keepdims=True)
-            d_tauc_rows[ch * HET_K + k] = jnp.sum(
-                -cA * jnp.clip(fc - k, 0.0, 1.0), 0, keepdims=True)
+        # tau cotangent is -cA; chain into the factored tables:
+        # d sigt = -cA * D, d D = -cA * sigt (k-sums after the ch loop)
+        d_sigtb_cols.append(jnp.sum(-cA * Db, 1, keepdims=True))
+        d_sigtc_rows.append(jnp.sum(-cA * Dc, 0, keepdims=True))
+        mDb = mDb + cA * stb
+        mDc = mDc + cA * stc
         d_sig_rows.append(ct_ch * jnp.sum(w0 * pt * dens_c, 0, keepdims=True))
         cw_sum = cw_sum + ct_ch * (w0 * sig) * pt
         if want_extras:
@@ -300,19 +309,23 @@ def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
             d_g = d_g + jnp.sum(ct_ch * wg * pt * sig * dens_c, 0,
                                 keepdims=True)
             d_camr = d_camr + jnp.sum(prod_rad, 0, keepdims=True)
+    d_dkb_cols = [jnp.sum(-mDb * jnp.clip(fb - k, 0.0, 1.0), 1,
+                          keepdims=True) for k in range(HET_K)]
+    d_dkc_rows = [jnp.sum(-mDc * jnp.clip(fc - k, 0.0, 1.0), 0,
+                          keepdims=True) for k in range(HET_K)]
     # one transposed write per block: (C, NB_HET) -> (NB_HET, C)
     upd_b = jnp.concatenate(
         [zcol] * 6 + d_ps_cols + [zcol] * 3 + [d_rad, zcol, zcol, zcol]
-        + d_taub_cols, 1)
+        + d_dkb_cols + d_sigtb_cols, 1)
     dbeams_ref[0] += jnp.transpose(upd_b)
     d_dens_rows = [jnp.sum(cw_sum * hat(k), 0, keepdims=True)
                    for k in range(HET_K)]
     zrow = jnp.zeros((1, T), jnp.float32)
     # row layout (NDR_HET): [zeros(3) DR_TR] [d_sigs(3)] [d_g] [d_camr]
-    #                       [d_tauc(24)] [d_dens(8)]
+    #                       [d_dkc(8)] [d_sigtc(3)] [d_dens(8)]
     upd = jnp.concatenate(
         [zrow, zrow, zrow] + d_sig_rows + [d_g, d_camr]
-        + d_tauc_rows + d_dens_rows, axis=0)  # (NDR_HET, T)
+        + d_dkc_rows + d_sigtc_rows + d_dens_rows, axis=0)  # (NDR_HET, T)
     drays_ref[pl.ds(i, 1)] = drays_ref[pl.ds(i, 1)] + upd[None]
 
 

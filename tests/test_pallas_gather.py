@@ -111,8 +111,10 @@ def test_pallas_hetero_fused_bwd_matches_xla(monkeypatch):
     def loss(ps, dens, sig_s):
         mm = media._replace(density=dens, sigma_s=sig_s)
         bb = beams._replace(power_start=ps)
-        tau_b, _ = medium_interval_nodes(mm, bb.medium, bb.start, bb.end)
-        bp, n_valid = pack_beams_compact(bb, 256, tau_nodes=tau_b)
+        dk_b, _, sigt_b = medium_interval_nodes(mm, bb.medium, bb.start,
+                                                bb.end)
+        bp, n_valid = pack_beams_compact(bb, 256, dk_nodes=dk_b,
+                                         sigma_t=sigt_b)
         out = gather_beams_packed(bp, n_valid, mm, a0, a1, sd, med, trf,
                                   jnp.float32(0.2), chunk=256,
                                   power_scale=1e-3, grad_extras=False)
@@ -331,8 +333,10 @@ def test_packed_hetero_matches_brute():
     def packed(ps, dens):
         mm = media._replace(density=dens)
         bb = beams._replace(power_start=ps)
-        tau_b, _ = medium_interval_nodes(mm, bb.medium, bb.start, bb.end)
-        bp, n_valid = pack_beams_compact(bb, 256, tau_nodes=tau_b)
+        dk_b, _, sigt_b = medium_interval_nodes(mm, bb.medium, bb.start,
+                                                bb.end)
+        bp, n_valid = pack_beams_compact(bb, 256, dk_nodes=dk_b,
+                                         sigma_t=sigt_b)
         out = gather_beams_packed(bp, n_valid, mm, a0, a1, sd, med, trf,
                                   jnp.float32(0.2), chunk=256,
                                   power_scale=1e-3, grad_extras=False)
@@ -452,9 +456,10 @@ def test_sparse_block_gather_hetero():
                                            pack_beams_compact)
 
     beams, media, a0, a1, sd, med, trf = _setup_hetero(B=512, R=256)
-    tau_b, _ = medium_interval_nodes(media, beams.medium, beams.start,
-                                     beams.end)
-    bp, n_valid = pack_beams_compact(beams, 256, tau_nodes=tau_b)
+    dk_b, _, sigt_b = medium_interval_nodes(media, beams.medium, beams.start,
+                                            beams.end)
+    bp, n_valid = pack_beams_compact(beams, 256, dk_nodes=dk_b,
+                                     sigma_t=sigt_b)
     kw = dict(chunk=256, power_scale=1e-3, grad_extras=False)
     base = gather_beams_packed(bp, n_valid, media, a0, a1, sd, med, trf,
                                jnp.float32(0.2), **kw)
