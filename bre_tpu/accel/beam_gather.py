@@ -62,15 +62,18 @@ def _pallas_tile(chunk: int = 256, heavy: bool = False,
     """Ray-tile width for the Pallas gather kernels.  ``heavy`` halves the
     pair budget — the fused backward with grad_extras=True keeps extra (C,T)
     intermediates (radius/g cotangent products) live and OOMs VMEM at the
-    full 2048 x 256 block.  ``hetero`` divides it by 8 — the K-node tau
-    loops hold many more live (C,T) temporaries (measured: 41 MB scoped
-    VMEM at 2048x256 forward on the 512^2 spec run; the fused hetero
-    BACKWARD still overflowed by 2.7 MB at 512x256 — 16 MB limit)."""
+    full 2048 x 256 block.  ``hetero`` divides it by 4: the FACTORED node
+    tables (scalar D clamp-sums shared across channels) hold only a few
+    extra live (C,T) temporaries — the old per-channel K x 3 tau loops
+    needed //8 (41 MB scoped VMEM at 2048x256 fwd; bwd overflowed even
+    512x256), and the resulting 256-lane tiles made the kernel grid-step
+    bound; the factored BACKWARD still OOMs at 1024x256 (33.5 MB scoped)
+    but fits at 512x256."""
     import jax as _jax
 
     if _jax.default_backend() != "tpu":
         return 256  # interpret mode: avoid padding waste on tiny tests
-    budget = _MAX_BLOCK_PAIRS // (2 if heavy else 1) // (8 if hetero else 1)
+    budget = _MAX_BLOCK_PAIRS // (2 if heavy else 1) // (4 if hetero else 1)
     tile = min(PALLAS_TILE, max(1, budget // max(chunk, 1)))
     return max(256, (tile // 256) * 256)
 
