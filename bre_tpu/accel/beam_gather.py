@@ -229,6 +229,10 @@ def medium_interval_nodes(media: Media, med_idx, p0, p1, K: int = HETERO_NODES):
     dk = dens * (seg_len / K)[:, None]
     dk = jnp.where(in_med[:, None], dk, 0.0)
     dens = jnp.where(in_med[:, None], dens, 1.0)
+    # NOTE: sigma_t is returned UNMASKED by in_med — out-of-medium
+    # correctness relies on dk being zeroed above (D=0 makes both tau and
+    # the d_sigt cotangent vanish).  Do not use the returned sigma_t
+    # standalone for out-of-medium lanes.
     return dk, dens, sigma_t
 
 

@@ -95,6 +95,30 @@ class PhotonBeamConfig:
     tr_crossings: Optional[int] = None
 
 
+def _resolve_gather(gather: str, backend: str) -> str:
+    """Fence the LBVH gather to CPU/debug use (VERDICT round-3 item 7).
+
+    The LBVH candidate-collection backend measured 150-500x off the pace of
+    the dense/sparse Pallas tiers in every TPU regime, and its multi-minute
+    dispatches can trip remote-relay watchdogs (BASELINE.md round-3 regime
+    table; examples/bench_gather_backends.py).  On a TPU backend it warns
+    and falls back to the auto selection; on CPU it stays available for
+    debugging/verification.
+    """
+    if gather == "lbvh" and backend == "tpu":
+        import warnings
+
+        warnings.warn(
+            "gather='lbvh' is CPU/debug-only (150-500x slower than the "
+            "Pallas tiers on TPU and can hang remote relays); falling back "
+            "to gather='auto'.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return "auto"
+    return gather
+
+
 def camera_pass(
     scene: Scene,
     camera: Camera,
@@ -138,7 +162,7 @@ def camera_pass_by_pixels(
     # and sigma_s from per-segment quadrature node tables (beam_gather
     # hetero mode) — XLA path only, so packed/LBVH fast paths are bypassed.
     hetero = scene.media.density.size > 1 and kern == KERNEL_BRE
-    gather = cfg.gather
+    gather = _resolve_gather(cfg.gather, jax.default_backend())
     if gather == "auto":
         # backend choice is a trace-time (static) decision; pick the fastest
         # path that is exact for this configuration (BASELINE.md measurements:

@@ -377,8 +377,8 @@ def pallas_gather_backward_fused(rays_packed, beams_packed, scalars4,
     hetero = nf == NF_HET
     ndr = NDR_HET if hetero else 8
     if hetero:
-        # (g_tiles, 40, T) resident d_rays block + heavier per-pair temps:
-        # shrink the group so VMEM holds it
+        # (g_tiles, NDR_HET=27, T) resident d_rays block + heavier per-pair
+        # temps: shrink the group so VMEM holds it
         group_tiles = min(group_tiles, 16)
     interpret = jax.default_backend() != "tpu"
     if block_mask is None:

@@ -13,6 +13,15 @@ Two scenes:
 
 Run on the TPU:  python examples/bench_gather_backends.py [--size 128]
 Prints per-(scene, backend) iteration timings (slope-timed, two Ns).
+
+DECISION (round 4, from the round-3 measurements below): the LBVH backend is
+150-500x off the pace in every measured regime (35,781 ms vs 65.8 ms dense
+fog; relay-killed in the localized regime) and the sparse-block tier
+supersedes it for localized beams.  ``gather="lbvh"`` is therefore fenced to
+CPU/debug use: on a TPU backend ``camera_pass`` warns and falls back to
+``gather="auto"`` (integrators/photonbeam.py).  The LBVH module itself stays
+(it is the scene-geometry accelerator and the CPU verification path for
+tile-culled gathers, tests/test_lbvh_gather.py).
 """
 import argparse
 import sys

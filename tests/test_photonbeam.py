@@ -2,6 +2,7 @@
 homogeneous-scattering cube, one point light."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from bre_tpu.core import transform as tfm
@@ -101,3 +102,19 @@ def test_render_media_toggle():
     img, _ = render_photonbeam(s, cam, 16, 16, cfg)
     # no surfaces with materials, no media rendering -> black
     assert float(np.abs(np.asarray(img)).max()) == 0.0
+
+
+def test_lbvh_gather_fenced_on_tpu():
+    """gather='lbvh' on a TPU backend warns and falls back to 'auto'
+    (VERDICT round-3 item 7); on CPU it stays selectable for debugging."""
+    import warnings
+
+    from bre_tpu.integrators.photonbeam import _resolve_gather
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning expected on CPU
+        assert _resolve_gather("lbvh", "cpu") == "lbvh"
+        assert _resolve_gather("auto", "tpu") == "auto"
+        assert _resolve_gather("pallas", "tpu") == "pallas"
+    with pytest.warns(RuntimeWarning, match="CPU/debug-only"):
+        assert _resolve_gather("lbvh", "tpu") == "auto"
