@@ -72,12 +72,19 @@ class VSPPMConfig:
     # walk); None = resolve from the scene at render entry
     tr_crossings: "int | None" = None
     kernel: str = "physical"  # "physical" | "compat"
-    # "compat" reproduces the reference exactly, including two quirks: medium
-    # visible points use the SURFACE pi*r^2 kernel (dimensionally a 2D density
-    # for a 3D point set), and depth-0 photon medium interactions splat into
-    # medium VPs even though camera NEE already covers single scatter (double
-    # count).  "physical" uses the consistent (4/3)*pi*r^3*sigma_s volume
-    # kernel for medium VPs and restricts medium splats to depth > 0.
+    # "compat" reproduces the reference exactly, including three quirks:
+    # (1) medium visible points use the SURFACE pi*r^2 kernel (dimensionally
+    # a 2D density for a 3D point set); (2) depth-0 photon medium
+    # interactions splat into medium VPs even though camera NEE already
+    # covers single scatter (double count); (3) photons TERMINATE at their
+    # first medium interaction — the reference's RR uses `bnew`, which is
+    # default-constructed to 0 and never assigned in the medium branch
+    # (vsppm.cpp:466-500,562-564), so q = 1 - bnew.y()/beta.y() = 1 always
+    # kills (found by running the reference: 2,778 medium interactions over
+    # 4,000 paths, impossible under multi-scatter continuation).
+    # "physical" uses the consistent (4/3)*pi*r^3*sigma_s volume kernel for
+    # medium VPs, restricts medium splats to depth > 0, and continues
+    # photons through medium scatters.
 
 
 class VisiblePoints(NamedTuple):
@@ -358,7 +365,12 @@ def _photon_pass(scene: Scene, light_distr, iter_idx, photons: int, cfg: VSPPMCo
                              new_beta / jnp.where(keep, 1.0 - q, 1.0)[:, None], new_beta)
 
         new_depth = state["depth"] + jnp.where(scattered | (surf & ~is_boundary), 1, 0)
-        new_alive = alive & (scattered | is_boundary | (cont_surf & ~killed))
+        # compat quirk (3): the reference's RR reads `bnew`, default-
+        # constructed to 0 and never assigned in the medium branch
+        # (vsppm.cpp:466-500,562-564), so q=1 kills every photon at its
+        # first medium interaction.  physical mode continues the walk.
+        cont_med = scattered if cfg.kernel == "physical" else jnp.zeros_like(scattered)
+        new_alive = alive & (cont_med | is_boundary | (cont_surf & ~killed))
         new_alive = new_alive & (jnp.sum(new_beta, -1) > 0.0) & (new_depth < cfg.maxdepth)
 
         state = dict(hs=hs, rng=rng, o=new_o, d=new_d, beta=new_beta,
@@ -417,11 +429,18 @@ def _splat_gather(vps: VisiblePoints, radii: jnp.ndarray, photons: PhotonInterac
     for ox in range(3):
         for oy in range(3):
             for oz in range(3):
-                c = jnp.clip(base + jnp.array([ox, oy, oz]), 0, 1023)
+                cu = base + jnp.array([ox, oy, oz])
+                # offsets whose cell lies outside the grid must be SKIPPED,
+                # not clamped: clamping would collapse them onto an edge
+                # cell already visited by another offset and double-count
+                # its photons (the reference registers VPs over a clamped
+                # RANGE of cells, each exactly once — vsppm.cpp:393-412)
+                in_grid = jnp.all((cu >= 0) & (cu <= 1023), axis=-1)
+                c = jnp.clip(cu, 0, 1023)
                 key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
                 lo = jnp.searchsorted(pkey_s, key, side="left")
                 hi = jnp.searchsorted(pkey_s, key, side="right")
-                count = hi - lo
+                count = jnp.where(in_grid, hi - lo, 0)
                 overflow = overflow + jnp.sum(jnp.maximum(count - K, 0))
 
                 def body(k, acc):
@@ -465,7 +484,14 @@ def render_vsppm(
         Ld_add, vps = _camera_pass(scene, camera, width, height, iter_idx, cfg)
         pi_ = _photon_pass(scene, light_distr, iter_idx, photons, cfg)
         Phi, M, ovf = _splat_gather(vps, radii, pi_, scene.materials, cfg)
-        return Ld_add, vps.beta, vps.kind, vps.sigma_s, Phi, M, ovf
+        # reference stat counters for the seed-matched identity gate
+        # (vsppm.cpp:49-56: totalPhotonMediumInteractions, visiblePoints{
+        # Medium,Surface})
+        n_med_int = jnp.sum((pi_.valid & (pi_.kind == VP_MEDIUM)).astype(jnp.int32))
+        n_vp_med = jnp.sum((vps.kind == VP_MEDIUM).astype(jnp.int32))
+        n_vp_surf = jnp.sum((vps.kind == VP_SURFACE).astype(jnp.int32))
+        counts = (n_med_int, n_vp_med, n_vp_surf)
+        return Ld_add, vps.beta, vps.kind, vps.sigma_s, Phi, M, ovf, counts
 
     radii = jnp.full((R,), cfg.radius)
     N = jnp.zeros((R,))
@@ -487,7 +513,7 @@ def render_vsppm(
 
     for it in range(cfg.iterations):
         out = one_iteration(jnp.uint32(it), radii)
-        Ld_add, vp_beta, vp_kind, vp_ss, Phi, M, ovf = out
+        Ld_add, vp_beta, vp_kind, vp_ss, Phi, M, ovf, counts = out
         Ld = Ld + Ld_add
         # SPPM stats update (vsppm.cpp:572-600), gamma = 2/3
         has = (M > 0) & (vp_kind != VP_NONE)
@@ -513,6 +539,9 @@ def render_vsppm(
         radii = jnp.where(has, R_new, radii)
         stats["photon_paths"] += photons
         stats["splat_overflow"] += int(ovf)
+        stats["medium_interactions"] = stats.get("medium_interactions", 0) + int(counts[0])
+        stats["vp_medium"] = stats.get("vp_medium", 0) + int(counts[1])
+        stats["vp_surface"] = stats.get("vp_surface", 0) + int(counts[2])
         if write_callback is not None and (
             (it + 1) == cfg.iterations or (it + 1) % cfg.imagewritefrequency == 0
         ):
