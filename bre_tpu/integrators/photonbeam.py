@@ -185,12 +185,12 @@ def camera_pass_by_pixels(
     elif use_packed:
         dk_b = sigt_b = None
         if hetero:
-            from ..accel.beam_gather import medium_interval_nodes
+            from ..accel.beam_gather import medium_interval_poly
 
-            dk_b, _, sigt_b = medium_interval_nodes(
+            dk_b, _, sigt_b = medium_interval_poly(
                 scene.media, beams.medium, beams.start, beams.end)
         beams_packed, n_valid_beams = pack_beams_compact(
-            beams, cfg.gather_chunk, dk_nodes=dk_b, sigma_t=sigt_b)
+            beams, cfg.gather_chunk, d_poly=dk_b, sigma_t=sigt_b)
     elif cfg.rendermedia:
         # one validity sort serves every depth step's gather (compact_beams)
         beams = compact_beams(beams)
@@ -551,6 +551,9 @@ def render_photonbeam(
                 detach_sampling=not cfg.grad_geometry,
                 # the normalized BRE needs long beams (analytic decay)
                 long_beams=True,
+                # this progressive driver is never differentiated: always
+                # take the early-exit grid tracking (media.sample_grid)
+                early_exit=True,
             )
         Ld, cstats = camera_pass(
             scene, camera, width, height, beams, radius, iter_idx, cfg,

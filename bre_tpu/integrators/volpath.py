@@ -64,6 +64,11 @@ class VolPathConfig:
     # NEE against every light (UniformSampleAllLights — directlighting's
     # default strategy "all", directlighting.cpp)
     samplealllights: bool = False
+    # full EstimateDirect two-sample MIS (light + BSDF/phase sample, power
+    # heuristic, integrator.cpp:85-215) instead of light-sampling-only NEE.
+    # directlighting uses it; whitted does NOT (whitted.cpp:49-108 samples
+    # lights only) — the behavioral distinction between the two.
+    nee_mis: bool = False
     # shadow-ray transmittance across null-material medium boundaries
     # (Scene::IntersectTr walk, scene.cpp:63-92).  None = resolve from the
     # scene at render entry (common.default_tr_crossings): 0 when no
@@ -211,10 +216,11 @@ def _li_batch(scene: Scene, o, d, rng, cfg: VolPathConfig, diffs=None,
     def _nee(rng, p, n, wo, mat_idx, med_idx, is_surface, **kw):
         if cfg.samplealllights:
             return sample_all_lights(scene, rng, p, n, wo, mat_idx, med_idx,
-                                     is_surface, tr_crossings=k_tr, **kw)
+                                     is_surface, tr_crossings=k_tr,
+                                     mis=cfg.nee_mis, **kw)
         return sample_one_light(scene, rng, p, n, wo, mat_idx, med_idx,
                                 is_surface, light_distrib=light_distrib,
-                                tr_crossings=k_tr, **kw)
+                                tr_crossings=k_tr, mis=cfg.nee_mis, **kw)
     state = dict(
         rng=rng,
         o=o,

@@ -653,6 +653,53 @@ def pdf_le(scene: Scene, light_idx, n_light, w):
     return pdf_pos, pdf_dir
 
 
+def light_shape_area(scene: Scene, light_idx) -> jnp.ndarray:
+    """Total surface area of a diffuse area light's shape per lane
+    (Shape::Area; sphere.cpp:241, triangle.cpp:~310).  Non-area lanes
+    return 1 (callers mask)."""
+    L = scene.lights
+    li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
+    kind = L.shape_kind[li]
+    sidx = L.shape_index[li]
+    R = light_idx.shape[0]
+    area = jnp.ones((R,))
+    if scene.n_spheres > 0:
+        r = scene.spheres.radius[jnp.clip(sidx, 0, scene.n_spheres - 1)]
+        area = jnp.where(kind == SHAPE_SPHERE, 4.0 * PI * r * r, area)
+    if scene.n_triangles > 0:
+        ti = jnp.clip(sidx, 0, scene.n_triangles - 1)
+        nv = cross(scene.triangles.p1[ti] - scene.triangles.p0[ti],
+                   scene.triangles.p2[ti] - scene.triangles.p0[ti])
+        area = jnp.where(kind == SHAPE_TRIANGLE, 0.5 * length(nv), area)
+    return area
+
+
+def infinite_Le_pdf(scene: Scene, light_idx, w) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Le (R,3), pdf_dir (R,)) of an INFINITE light toward direction ``w``
+    (InfiniteAreaLight::{Le,Pdf_Li}, infinite.cpp) — constant env: uniform
+    sphere; image env: the luminance Distribution2D pdf at the direction's
+    equirect coords.  Callers mask non-infinite lanes."""
+    L = scene.lights
+    li = jnp.clip(light_idx, 0, max(scene.n_lights - 1, 0))
+    R = light_idx.shape[0]
+    Le = L.emit[li]
+    pdf = jnp.full((R,), INV_4PI)
+    if L.env_func.shape[0] > 1:  # static: scene carries an env map
+        uv, theta = _dir_to_equirect_uv(L, li, w)
+        sin_t = jnp.sin(theta)
+        He, We = L.env_func.shape
+        row = jnp.clip((uv[:, 1] * He).astype(jnp.int32), 0, He - 1)
+        col = jnp.clip((uv[:, 0] * We).astype(jnp.int32), 0, We - 1)
+        func_int = jnp.maximum(jnp.mean(L.env_func), 1e-30)
+        pdf_env = (L.env_func[row, col] / func_int) / jnp.maximum(
+            2.0 * PI * PI * sin_t, 1e-30)
+        is_env = li == L.env_light
+        Le = jnp.where(is_env[:, None],
+                       L.emit[li] * _light_map_bilerp(L, li, uv), Le)
+        pdf = jnp.where(is_env, pdf_env, pdf)
+    return Le, pdf
+
+
 def escaped_radiance(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
     """Sum of Light::Le(ray) over infinite lights for escaped rays
     (light.h:75 default 0; infinite.cpp Le: map lookup at the ray direction's

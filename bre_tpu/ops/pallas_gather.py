@@ -60,22 +60,27 @@ BF_RAD = 12
 BF_VALID = 13
 NB = 16  # padded
 
-# heterogeneous-media node tables (beam_gather.medium_interval_nodes):
-# the per-interval optical thicknesses factor EXACTLY as
-# tau_ch(f) = sigma_t[ch] * D(f), D(f) = sum_k dk[k] * clip(f*K - k, 0, 1),
-# because grid media scale a CONSTANT sigma_t by a scalar density field
-# (media/grid.cpp:46-60) — so the kernels carry K SCALAR density-length
-# nodes + one sigma_t 3-vector per segment instead of K x 3 tau tables:
-# ~3x less per-pair clamp-sum work and 24 -> 11 extension rows/cols of DMA.
-# Extended layouts NF_HET/NB_HET are selected by the packed input shapes.
-HET_K = 8
-RF_DKC = NF             # 8 rows: camera density-length nodes dk_cam[k]
-RF_SIGTC = NF + 8       # 3 rows: camera-medium sigma_t rgb
-RF_DENSC = NF + 11      # 8 rows: camera node densities
-NF_HET = NF + 19        # 37
-BF_DK = NB              # 8 cols: beam density-length nodes dk[k]
-BF_SIGT = NB + 8        # 3 cols: beam-medium sigma_t rgb
-NB_HET = NB + 11        # 27
+# heterogeneous-media polynomial tables (beam_gather.medium_interval_poly):
+# the per-segment optical thickness factors EXACTLY as
+# tau_ch(f) = sigma_t[ch] * D(f) because grid media scale a CONSTANT
+# sigma_t by a scalar density field (media/grid.cpp:46-60).  D(f) and the
+# local density dens(f) are carried as LOW-DEGREE POLYNOMIAL coefficients
+# fitted to the K=8 quadrature nodes (beam_gather.nodes_to_poly): Horner
+# evaluation costs ~15 FMAs/pair vs ~88 ops for the old clamp/hat sums,
+# with equal accuracy against the true trilinear field (both are limited
+# by the K=8 sampling — measured round 4, BASELINE.md).  Extension rows:
+# 19 -> 14 (rays), 11 -> 8 (beam cols).  Extended layouts NF_HET/NB_HET
+# are selected by the packed input shapes.
+HET_K = 8               # quadrature nodes feeding the fits
+POLY_D_COEFS = 5        # D(f) = c1 f + ... + c5 f^5 (zero constant)
+POLY_DENS_COEFS = 6     # dens(f) = e0 + ... + e5 f^5
+RF_DC = NF              # 5 rows: camera D(f) poly coefficients
+RF_SIGTC = NF + 5       # 3 rows: camera-medium sigma_t rgb
+RF_DENSC = NF + 8       # 6 rows: camera dens(f) poly coefficients
+NF_HET = NF + 14        # 32
+BF_DP = NB              # 5 cols: beam D(f) poly coefficients
+BF_SIGT = NB + 5        # 3 cols: beam-medium sigma_t rgb
+NB_HET = NB + 8         # 24
 
 
 def _interp_power_k(ps, pe, frac):
@@ -201,22 +206,20 @@ def _pair_block_update(rays_ref, beams_ref, cam_radius, min_sin,
     w = rho * k1 * inv_sin * in_range
 
     if hetero:
-        # camera-node density at the gather point: piecewise-linear hats
-        # over the K midpoint nodes (beam_gather._dens_at semantics)
-        x = jnp.clip(frac_c * HET_K, 0.5, HET_K - 0.5) - 0.5  # (C,T)
-        dens_c = jnp.zeros_like(frac_c)
-        for k in range(HET_K):
-            dens_c = dens_c + r_row(RF_DENSC + k) * jnp.clip(
-                1.0 - jnp.abs(x - k), 0.0, 1.0)
-        # factored transmittance (see layout comment): ONE scalar clamp-sum
-        # per side shared by all 3 channels — tau_ch = sigt_ch * D
-        fb = t_cl * HET_K
-        fc = frac_c * HET_K
-        Db = jnp.zeros_like(t_cl)
-        Dc = jnp.zeros_like(t_cl)
-        for k in range(HET_K):
-            Db = Db + b_col(BF_DK + k) * jnp.clip(fb - k, 0.0, 1.0)
-            Dc = Dc + r_row(RF_DKC + k) * jnp.clip(fc - k, 0.0, 1.0)
+        # polynomial tables (see layout comment): Horner evaluations of the
+        # per-segment fits — dens at the camera gather point, and ONE
+        # scalar D per side shared by all 3 channels (tau_ch = sigt_ch * D)
+        dens_c = r_row(RF_DENSC + POLY_DENS_COEFS - 1)
+        for k in range(POLY_DENS_COEFS - 2, -1, -1):
+            dens_c = r_row(RF_DENSC + k) + frac_c * dens_c
+        dens_c = jnp.maximum(dens_c, 0.0)
+        Db = b_col(BF_DP + POLY_D_COEFS - 1)
+        Dc = r_row(RF_DC + POLY_D_COEFS - 1)
+        for k in range(POLY_D_COEFS - 2, -1, -1):
+            Db = b_col(BF_DP + k) + t_cl * Db
+            Dc = r_row(RF_DC + k) + frac_c * Dc
+        Db = jnp.maximum(t_cl * Db, 0.0)
+        Dc = jnp.maximum(frac_c * Dc, 0.0)
 
     rows = []
     for ch in range(3):
@@ -317,15 +320,15 @@ def pack_rays(seg: dict, tile: int) -> jnp.ndarray:
         seg["g"],
         seg["in_med_f"],
     ]
-    if "dk_cam_nodes" in seg:  # heterogeneous extension rows
-        dk = seg["dk_cam_nodes"]  # (R, K)
-        for k in range(HET_K):
-            rows.append(dk[:, k])
+    if "d_cam_poly" in seg:  # heterogeneous extension rows
+        dp = seg["d_cam_poly"]  # (R, 5)
+        for k in range(POLY_D_COEFS):
+            rows.append(dp[:, k])
         sigt = seg["sigma_t_cam"]  # (R, 3)
         for ch in range(3):
             rows.append(sigt[:, ch])
-        dens = seg["dens_cam_nodes"]  # (R, K)
-        for k in range(HET_K):
+        dens = seg["dens_cam_poly"]  # (R, 6)
+        for k in range(POLY_DENS_COEFS):
             rows.append(dens[:, k])
     nf = len(rows)
     packed = jnp.stack(rows, 0)  # (nf, R)
@@ -349,10 +352,10 @@ def pack_beams(pb: dict, chunk: int) -> jnp.ndarray:
         jnp.zeros_like(pb["radius"]),
         jnp.zeros_like(pb["radius"]),
     ]
-    if "dk_nodes" in pb:  # heterogeneous extension rows
-        dk = pb["dk_nodes"]  # (Bp, K)
-        for k in range(HET_K):
-            cols.append(dk[:, k])
+    if "d_poly_b" in pb:  # heterogeneous extension rows
+        dp = pb["d_poly_b"]  # (Bp, 5)
+        for k in range(POLY_D_COEFS):
+            cols.append(dp[:, k])
         sigt = pb["sigma_t_b"]  # (Bp, 3)
         for ch in range(3):
             cols.append(sigt[:, ch])

@@ -30,22 +30,23 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_gather import (
     BF_B0,
     BF_B1,
-    BF_DK,
+    BF_DP,
     BF_PE,
     BF_PS,
     BF_RAD,
     BF_SIGT,
     BF_VALID,
-    HET_K,
     NB,
     NB_HET,
     NF,
     NF_HET,
+    POLY_D_COEFS,
+    POLY_DENS_COEFS,
     RF_A0,
     RF_A1,
+    RF_DC,
     RF_DENSC,
     RF_DIR,
-    RF_DKC,
     RF_G,
     RF_INMED,
     RF_LEN,
@@ -59,13 +60,14 @@ DR_TR = 0  # d tr_full rgb rows 0..2
 DR_SIGS = 3  # d sigma_s rgb rows 3..5
 DR_G = 6
 DR_CAMR = 7  # per-ray partial of d cam_radius
-# heterogeneous extension rows (n_tiles, NDR_HET, T): camera-side node
-# cotangents follow the homogeneous 8 (DR_TR rows stay zero — hetero
-# transmittance lives in the factored node tables, pallas_gather layout)
-DR_DKC = 8              # 8 rows: d dk_cam_nodes[k]
-DR_SIGTC = DR_DKC + 8   # 3 rows: d sigma_t_cam rgb
-DR_DENS = DR_SIGTC + 3  # 8 rows: d dens_cam_nodes[k]
-NDR_HET = 27
+# heterogeneous extension rows (n_tiles, NDR_HET, T): camera-side
+# polynomial-coefficient cotangents follow the homogeneous 8 (DR_TR rows
+# stay zero — hetero transmittance lives in the poly tables, pallas_gather
+# layout)
+DR_DC = 8               # 5 rows: d d_cam_poly[i]
+DR_SIGTC = DR_DC + POLY_D_COEFS    # 3 rows: d sigma_t_cam rgb
+DR_DENS = DR_SIGTC + 3  # 6 rows: d dens_cam_poly[i]
+NDR_HET = DR_DENS + POLY_DENS_COEFS  # 22
 
 
 def _pair_quantities(scalars_ref, rays_ref, beams_ref):
@@ -250,24 +252,25 @@ def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
         wrad = q["base"] * q["rho"] * q["dk1_dw"]
         wg = q["base"] * q["k1"] * q["drho_dg"]
     frac_b, frac_c = q["frac_b"], q["frac_c"]
-    fb = frac_b * HET_K
-    fc = frac_c * HET_K
 
-    # camera node density (hat weights recomputed inline where needed —
-    # keeping 8 (C,T) hat tiles live would blow VMEM at large ray tiles)
-    x = jnp.clip(frac_c * HET_K, 0.5, HET_K - 0.5) - 0.5  # (C,T)
-    hat = lambda k: jnp.clip(1.0 - jnp.abs(x - k), 0.0, 1.0)
-    dens_c = jnp.zeros_like(frac_c)
-    for k in range(HET_K):
-        dens_c = dens_c + r_row(RF_DENSC + k) * hat(k)
-
-    # factored transmittance (pallas_gather layout comment): tau_ch =
-    # sigt_b[ch]*Db + sigt_c[ch]*Dc — ONE scalar clamp-sum per side
-    Db = jnp.zeros_like(frac_b)
-    Dc = jnp.zeros_like(frac_b)
-    for k in range(HET_K):
-        Db = Db + b_col(BF_DK + k) * jnp.clip(fb - k, 0.0, 1.0)
-        Dc = Dc + r_row(RF_DKC + k) * jnp.clip(fc - k, 0.0, 1.0)
+    # polynomial tables (pallas_gather layout comment): Horner evaluations
+    # with >=0 clamps; the clamp masks gate the coefficient cotangents
+    dens_c = r_row(RF_DENSC + POLY_DENS_COEFS - 1)
+    for k in range(POLY_DENS_COEFS - 2, -1, -1):
+        dens_c = r_row(RF_DENSC + k) + frac_c * dens_c
+    dens_live = (dens_c > 0.0).astype(jnp.float32)
+    dens_c = jnp.maximum(dens_c, 0.0)
+    Db = b_col(BF_DP + POLY_D_COEFS - 1)
+    Dc = r_row(RF_DC + POLY_D_COEFS - 1)
+    for k in range(POLY_D_COEFS - 2, -1, -1):
+        Db = b_col(BF_DP + k) + frac_b * Db
+        Dc = r_row(RF_DC + k) + frac_c * Dc
+    Db = frac_b * Db
+    Dc = frac_c * Dc
+    db_live = (Db > 0.0).astype(jnp.float32)
+    dc_live = (Dc > 0.0).astype(jnp.float32)
+    Db = jnp.maximum(Db, 0.0)
+    Dc = jnp.maximum(Dc, 0.0)
 
     T = frac_b.shape[1]
     C = frac_b.shape[0]
@@ -309,23 +312,36 @@ def _bwd_fused_body_het(scalars_ref, rays_ref, beams_ref, ct_ref,
             d_g = d_g + jnp.sum(ct_ch * wg * pt * sig * dens_c, 0,
                                 keepdims=True)
             d_camr = d_camr + jnp.sum(prod_rad, 0, keepdims=True)
-    d_dkb_cols = [jnp.sum(-mDb * jnp.clip(fb - k, 0.0, 1.0), 1,
-                          keepdims=True) for k in range(HET_K)]
-    d_dkc_rows = [jnp.sum(-mDc * jnp.clip(fc - k, 0.0, 1.0), 0,
-                          keepdims=True) for k in range(HET_K)]
+    # d/d c_i = (dL/dD) * f^i gated by the >=0 clamp mask; powers of f are
+    # built iteratively (one live (C,T) temp per side, not 5)
+    mDb_m = -mDb * db_live
+    mDc_m = -mDc * dc_live
+    d_dpb_cols = []
+    d_dpc_rows = []
+    pb_pow = frac_b
+    pc_pow = frac_c
+    for _ in range(POLY_D_COEFS):
+        d_dpb_cols.append(jnp.sum(mDb_m * pb_pow, 1, keepdims=True))
+        d_dpc_rows.append(jnp.sum(mDc_m * pc_pow, 0, keepdims=True))
+        pb_pow = pb_pow * frac_b
+        pc_pow = pc_pow * frac_c
     # one transposed write per block: (C, NB_HET) -> (NB_HET, C)
     upd_b = jnp.concatenate(
         [zcol] * 6 + d_ps_cols + [zcol] * 3 + [d_rad, zcol, zcol, zcol]
-        + d_dkb_cols + d_sigtb_cols, 1)
+        + d_dpb_cols + d_sigtb_cols, 1)
     dbeams_ref[0] += jnp.transpose(upd_b)
-    d_dens_rows = [jnp.sum(cw_sum * hat(k), 0, keepdims=True)
-                   for k in range(HET_K)]
+    cw_m = cw_sum * dens_live
+    d_dens_rows = []
+    pn_pow = jnp.ones_like(frac_c)
+    for _ in range(POLY_DENS_COEFS):
+        d_dens_rows.append(jnp.sum(cw_m * pn_pow, 0, keepdims=True))
+        pn_pow = pn_pow * frac_c
     zrow = jnp.zeros((1, T), jnp.float32)
     # row layout (NDR_HET): [zeros(3) DR_TR] [d_sigs(3)] [d_g] [d_camr]
-    #                       [d_dkc(8)] [d_sigtc(3)] [d_dens(8)]
+    #                       [d_dc(5)] [d_sigtc(3)] [d_dens(6)]
     upd = jnp.concatenate(
         [zrow, zrow, zrow] + d_sig_rows + [d_g, d_camr]
-        + d_dkc_rows + d_sigtc_rows + d_dens_rows, axis=0)  # (NDR_HET, T)
+        + d_dpc_rows + d_sigtc_rows + d_dens_rows, axis=0)  # (NDR_HET, T)
     drays_ref[pl.ds(i, 1)] = drays_ref[pl.ds(i, 1)] + upd[None]
 
 

@@ -66,3 +66,22 @@ def test_sppm_surface_matches_volpath():
     assert np.isfinite(img).all()
     ratio = img.mean() / truth.mean()
     assert 0.7 < ratio < 1.4, ratio
+
+
+def test_directlighting_mis_matches_whitted_area_light():
+    """EstimateDirect's two-sample MIS (directlighting, nee_mis=True) and
+    light-sampling-only NEE (whitted) are both unbiased: on an area-light
+    scene their means must agree.  The MIS scatter half actually engages
+    here (non-delta light), unlike the point-light test above."""
+    b = SceneBuilder()
+    m = b.matte((0.6, 0.6, 0.6))
+    b.quad((-5, -1, -5), (5, -1, -5), (5, -1, 5), (-5, -1, 5), material=m)
+    b.area_light_quad((-0.6, 2.0, 1.4), (0.6, 2.0, 1.4), (0.6, 2.0, 2.6),
+                      (-0.6, 2.0, 2.6), (12.0, 11.0, 9.0))
+    s = b.build()
+    wh = 10
+    w = np.asarray(render_whitted(s, _cam(wh), wh, wh, maxdepth=3, spp=64))
+    d = np.asarray(render_directlighting(s, _cam(wh), wh, wh, maxdepth=3,
+                                         spp=64))
+    assert np.isfinite(w).all() and np.isfinite(d).all() and d.max() > 0
+    np.testing.assert_allclose(w.mean(), d.mean(), rtol=0.08)

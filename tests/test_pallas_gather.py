@@ -103,7 +103,7 @@ def test_pallas_hetero_fused_bwd_matches_xla(monkeypatch):
     grid, sigma table, and beam powers."""
     from bre_tpu.accel import beam_gather as bg
     from bre_tpu.accel.beam_gather import (
-        gather_beams_packed, medium_interval_nodes, pack_beams_compact)
+        gather_beams_packed, medium_interval_poly, pack_beams_compact)
 
     beams, media, a0, a1, sd, med, trf = _setup_hetero(B=512, R=256)
     W = jnp.asarray(np.random.RandomState(7).rand(256, 3), jnp.float32)
@@ -111,9 +111,9 @@ def test_pallas_hetero_fused_bwd_matches_xla(monkeypatch):
     def loss(ps, dens, sig_s):
         mm = media._replace(density=dens, sigma_s=sig_s)
         bb = beams._replace(power_start=ps)
-        dk_b, _, sigt_b = medium_interval_nodes(mm, bb.medium, bb.start,
+        dk_b, _, sigt_b = medium_interval_poly(mm, bb.medium, bb.start,
                                                 bb.end)
-        bp, n_valid = pack_beams_compact(bb, 256, dk_nodes=dk_b,
+        bp, n_valid = pack_beams_compact(bb, 256, d_poly=dk_b,
                                          sigma_t=sigt_b)
         out = gather_beams_packed(bp, n_valid, mm, a0, a1, sd, med, trf,
                                   jnp.float32(0.2), chunk=256,
@@ -324,7 +324,7 @@ def test_packed_hetero_matches_brute():
     backward unpacks and differentiates through the XLA recompute core)."""
     from bre_tpu.accel.beam_gather import (
         gather_beams_packed,
-        medium_interval_nodes,
+        medium_interval_poly,
         pack_beams_compact,
     )
 
@@ -333,9 +333,9 @@ def test_packed_hetero_matches_brute():
     def packed(ps, dens):
         mm = media._replace(density=dens)
         bb = beams._replace(power_start=ps)
-        dk_b, _, sigt_b = medium_interval_nodes(mm, bb.medium, bb.start,
+        dk_b, _, sigt_b = medium_interval_poly(mm, bb.medium, bb.start,
                                                 bb.end)
-        bp, n_valid = pack_beams_compact(bb, 256, dk_nodes=dk_b,
+        bp, n_valid = pack_beams_compact(bb, 256, d_poly=dk_b,
                                          sigma_t=sigt_b)
         out = gather_beams_packed(bp, n_valid, mm, a0, a1, sd, med, trf,
                                   jnp.float32(0.2), chunk=256,
@@ -452,13 +452,13 @@ def test_sparse_backward_matches_dense():
 def test_sparse_block_gather_hetero():
     """Sparse mode with heterogeneous node tables (NF_HET/NB_HET layouts)."""
     from bre_tpu.accel.beam_gather import (gather_beams_packed,
-                                           medium_interval_nodes,
+                                           medium_interval_poly,
                                            pack_beams_compact)
 
     beams, media, a0, a1, sd, med, trf = _setup_hetero(B=512, R=256)
-    dk_b, _, sigt_b = medium_interval_nodes(media, beams.medium, beams.start,
+    dk_b, _, sigt_b = medium_interval_poly(media, beams.medium, beams.start,
                                             beams.end)
-    bp, n_valid = pack_beams_compact(beams, 256, dk_nodes=dk_b,
+    bp, n_valid = pack_beams_compact(beams, 256, d_poly=dk_b,
                                      sigma_t=sigt_b)
     kw = dict(chunk=256, power_scale=1e-3, grad_extras=False)
     base = gather_beams_packed(bp, n_valid, media, a0, a1, sd, med, trf,
