@@ -36,7 +36,9 @@ def _free_port() -> int:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-@pytest.mark.slow
+# default tier (VERDICT round-3 item 6): the only test exercising
+# jax.distributed.initialize + gloo across real process boundaries.
+# ~2 min on a 2-core box, compile-dominated (tiny 16^2/256-photon shapes).
 def test_two_process_step_matches_single_process(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
