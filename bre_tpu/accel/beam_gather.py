@@ -73,7 +73,7 @@ def _pallas_tile(chunk: int = 256, heavy: bool = False,
 
     if _jax.default_backend() != "tpu":
         return 256  # interpret mode: avoid padding waste on tiny tests
-    budget = _MAX_BLOCK_PAIRS // (2 if heavy else 1) // (4 if hetero else 1)
+    budget = _MAX_BLOCK_PAIRS // (2 if heavy else 1) // (2 if hetero else 1)
     tile = min(PALLAS_TILE, max(1, budget // max(chunk, 1)))
     return max(256, (tile // 256) * 256)
 

@@ -70,17 +70,28 @@ def main():
         return jnp.mean(Ld)
 
     def timed(label):
+        # slope timing (BASELINE.md methodology note): block_until_ready
+        # does not reliably fence through the axon relay — N varied-arg
+        # calls ending in ONE device_get, differenced between two N values
         fwd_bwd = jax.jit(jax.value_and_grad(iteration, argnums=(0, 1)))
         d0, s0 = scene.media.density, scene.media.sigma_s
         out = fwd_bwd(d0, s0, jnp.uint32(0))
         jax.block_until_ready(out)
-        reps = 3
-        t0 = time.perf_counter()
-        for i in range(reps):
-            out = fwd_bwd(d0, s0, jnp.uint32(i + 1))
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
-        (loss, (gd, gs)) = out
+        k = [0]
+
+        def run(nn):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(nn):
+                o = fwd_bwd(d0, s0, jnp.uint32(1 + k[0]))
+                k[0] += 1
+            jax.device_get(o[0])
+            return time.perf_counter() - t0
+
+        import statistics
+        dt = statistics.median([(run(4) - run(1)) / 3 for _ in range(3)])
+        out = fwd_bwd(d0, s0, jnp.uint32(1))
+        (loss, (gd, gs)) = jax.device_get(out)
         print(f"{label:24s} {dt*1e3:9.1f} ms/iter  "
               f"({wh*wh/dt:,.0f} rays/s fwd+bwd)  "
               f"loss={float(loss):.5f} |d_dens|={float(jnp.abs(gd).sum()):.4g}",
