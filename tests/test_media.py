@@ -191,3 +191,50 @@ def test_grid_scatter_probability_scaled_transform():
         med, jnp.zeros((N,), jnp.int32), o, d, jnp.full((N,), 2.0), rng)
     np.testing.assert_allclose(
         float(np.asarray(tr).mean()), np.exp(-tau), atol=0.01)
+
+
+def test_sample_grid_early_exit_matches_scan_statistically():
+    """The early-exit while_loop tracking (media.sample_grid early_exit=True,
+    round 4) draws a different RNG stream than the fixed-trip scan but must
+    be the SAME estimator: scatter fraction, mean scatter distance, and
+    mean weight agree statistically on a 20k-lane batch."""
+    import numpy as np
+    from bre_tpu.media import sample_grid, gather_medium
+    from bre_tpu.core.rng import pcg32_init
+    from bre_tpu.scene.builder import SceneBuilder
+
+    n = 24
+    g = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    dens = np.clip(np.exp(-1.5 * (x**2 + y**2 + z**2)), 0, None).astype(np.float32)
+    b = SceneBuilder()
+    w2m = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                    [0, 0, 0.5, 0.5], [0, 0, 0, 1]], np.float32)
+    b.grid_medium(dens, w2m, sigma_a=(0.1,) * 3, sigma_s=(1.0,) * 3, g=0.0)
+    b.sphere((0, 0, 0), 5.0)
+    media = b.build().media
+
+    P = 20000
+    rng_np = np.random.default_rng(7)
+    o = jnp.asarray(rng_np.uniform(-0.9, 0.9, (P, 3)).astype(np.float32))
+    d = rng_np.normal(size=(P, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    t_max = jnp.full((P,), 3.0)
+    med = jnp.zeros((P,), jnp.int32)
+    sigma_a, sigma_s, _, _, _ = gather_medium(media, med)
+
+    out = {}
+    for ee in (False, True):
+        rng = pcg32_init(jnp.arange(P, dtype=jnp.uint32) + 99)
+        _, ms, ovf = jax.jit(
+            lambda r: sample_grid(media, sigma_a, sigma_s, o, d, t_max, r,
+                                  early_exit=ee))(rng)
+        s = np.asarray(ms.sampled)
+        out[ee] = (s.mean(), np.asarray(ms.t)[s].mean(),
+                   np.asarray(ms.weight)[s].mean(), int(ovf))
+    frac0, t0, w0, ov0 = out[False]
+    frac1, t1, w1, ov1 = out[True]
+    assert ov0 == 0 and ov1 == 0
+    assert abs(frac1 - frac0) / frac0 < 0.03, (frac0, frac1)
+    assert abs(t1 - t0) / t0 < 0.03, (t0, t1)
+    assert abs(w1 - w0) / w0 < 1e-6  # weight is sigma_s/sigma_t, draw-free
