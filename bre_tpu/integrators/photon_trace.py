@@ -422,14 +422,17 @@ def trace_photon_beams_compat(
     continuations (capacity ``max_depth``), processed depth-first: each scan
     step either *advances* the current branch one segment or *pops* the most
     recent continuation.  Grid media are not supported here (ratio-tracking
-    Tr consumes data-dependent dim counts); homogeneous + vacuum only —
-    which covers BASELINE config 1.
+    Tr consumes data-dependent dim counts).  Homogeneous + vacuum lanes are
+    bit-matched (BASELINE config 1); grid-media lanes (round 4) run delta
+    tracking on an auxiliary stream with deterministic-quadrature Tr —
+    statistically matched (the reference burns variable dims there).
 
     Returns (beams, stats); ``stats["n_overflow_steps"]`` counts lanes still
     live when ``n_steps`` ran out (no silent truncation).
     """
     P = halton_index.shape[0]
     S = max(max_depth, 1)  # continuation stack capacity
+    has_grid = scene.media.density.size > 1  # static: grid medium present
     if not n_steps:
         n_steps = 4 * (max_depth + 1)
     rng = pcg32_init(jnp.asarray(halton_index, jnp.uint32) + jnp.uint32(1))
@@ -451,6 +454,8 @@ def trace_photon_beams_compat(
 
     state = dict(
         rng=rng,
+        rng_grid=pcg32_init(
+            jnp.asarray(halton_index, jnp.uint32) ^ jnp.uint32(0x9E3779B9)),
         o=le.o,
         d=le.d,
         beta=jnp.where(alive0[:, None], beta0, 0.0),
@@ -492,14 +497,22 @@ def trace_photon_beams_compat(
 
         active = alive | is_pop
         h = intersect(scene, o, d)
-        sigma_a, sigma_s, g_here, _is_grid, in_med = gather_medium(
+        sigma_a, sigma_s, g_here, is_grid_l, in_med = gather_medium(
             scene.media, medium)
         sigma_t = sigma_a + sigma_s
         t_hit = jnp.where(h.valid, h.t, 0.0)
         h_p = o + t_hit[:, None] * d
-        # full-segment transmittance (HomogeneousMedium::Tr, 0 sampler dims)
-        tr_full = jnp.where(
-            in_med[:, None], jnp.exp(-sigma_t * t_hit[:, None]), 1.0)
+        if has_grid:
+            # grid-aware full-segment transmittance (GridDensityMedium::Tr;
+            # the reference's ratio tracking is replaced by the deterministic
+            # quadrature _segment_tr — unbiased in expectation, no bit-match
+            # claim exists for grid scenes)
+            tr_full = _segment_tr(scene, medium, o, d, t_hit)
+        else:
+            # full-segment transmittance (HomogeneousMedium::Tr, 0 dims) —
+            # byte-identical to the seed-matched fog-golden path
+            tr_full = jnp.where(
+                in_med[:, None], jnp.exp(-sigma_t * t_hit[:, None]), 1.0)
 
         # --- advance lanes: Medium::Sample (2 dims, homogeneous.cpp:55-57) ---
         adv = alive & active
@@ -513,6 +526,22 @@ def trace_photon_beams_compat(
         dist = -jnp.log(jnp.maximum(1.0 - u_t, 1e-38)) / jnp.where(pos, sig_c, 1.0)
         black = jnp.sum(beta, -1) <= 0.0  # Spectrum::IsBlack (photonbeam.cpp:271)
         scattered = do_sample & pos & (dist < t_hit) & ~black
+        if has_grid:
+            # grid lanes sample by delta tracking (GridDensityMedium::Sample,
+            # grid.cpp:62-87) on an auxiliary stream — the reference burns a
+            # VARIABLE dim count here, so grid lanes are statistically (not
+            # bit-) matched; homogeneous lanes keep the exact accounting above
+            from ..media import sample_grid
+
+            rng_grid, gs, _govf = sample_grid(
+                scene.media, sigma_a, sigma_s, o, d, t_hit,
+                state["rng_grid"], early_exit=True)
+            g_lane = is_grid_l & do_sample
+            scattered = jnp.where(g_lane, do_sample & gs.sampled & ~black,
+                                  scattered)
+            dist = jnp.where(g_lane, gs.t, dist)
+        else:
+            rng_grid = state["rng_grid"]
 
         # the segment beam (photonbeam.cpp:288-294): full span, Tr-weighted
         # end power, stored for vacuum segments too; scattered segments store
@@ -615,8 +644,8 @@ def trace_photon_beams_compat(
             n_surface=jnp.sum(surf_proc.astype(jnp.int32)),
         )
         out = dict(
-            rng=rng, o=new_o, d=new_d, beta=new_beta, medium=new_medium,
-            depth=new_depth, alive=new_alive, sp=new_sp,
+            rng=rng, rng_grid=rng_grid, o=new_o, d=new_d, beta=new_beta,
+            medium=new_medium, depth=new_depth, alive=new_alive, sp=new_sp,
             st_o=st_o, st_d=st_d, st_beta=st_beta,
             st_medium=st_medium, st_depth=st_depth,
         )
