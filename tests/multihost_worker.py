@@ -51,7 +51,7 @@ def main() -> int:
 
     WH = 16
     cfg = PhotonBeamConfig(
-        maxdepth=3, photonsperiteration=256, initialbeamradius=0.3,
+        maxdepth=2, photonsperiteration=256, initialbeamradius=0.3,
         gather_chunk=256, grad_geometry=False,
     )
     scene = fog_cube_scene(sigma_a=0.05, sigma_s=0.4).build()

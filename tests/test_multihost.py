@@ -70,7 +70,7 @@ def test_two_process_step_matches_single_process(tmp_path):
 
     # single-process 8-device reference (this pytest process)
     cfg = PhotonBeamConfig(
-        maxdepth=3, photonsperiteration=256, initialbeamradius=0.3,
+        maxdepth=2, photonsperiteration=256, initialbeamradius=0.3,
         gather_chunk=256, grad_geometry=False,
     )
     scene = fog_cube_scene(sigma_a=0.05, sigma_s=0.4).build()
