@@ -57,6 +57,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
+    from bre_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from bre_tpu.core import transform as tfm
     from bre_tpu.integrators.photonbeam import PhotonBeamConfig, camera_pass
     from bre_tpu.integrators.photon_trace import trace_photon_beams

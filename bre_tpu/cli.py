@@ -59,6 +59,11 @@ def main(argv=None) -> int:
 
     from .io.image import write_image
     from .scene.parser import parse_file
+    from .utils.compile_cache import enable_persistent_cache
+
+    # Spec renders are compile-dominated (BASELINE.md round-4: ~97% of the
+    # config-3 wall was XLA compile); persist executables across processes.
+    enable_persistent_cache()
 
     t0 = time.time()
     try:
