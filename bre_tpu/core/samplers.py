@@ -51,9 +51,13 @@ def halton_next_1d(s: HaltonStream) -> Tuple[HaltonStream, jnp.ndarray]:
 
 
 def halton_next_2d(s: HaltonStream) -> Tuple[HaltonStream, jnp.ndarray]:
+    """Get2D: ``Point2f(Get1D(), Get1D())`` (vsppm.cpp:172-174).  g++
+    evaluates call arguments right-to-left, so the reference's pair is
+    (x, y) = (second draw, first draw) — verified against an instrumented
+    reference build (the photonbeam emission pairs show the same swap)."""
     s, a = halton_next_1d(s)
     s, b = halton_next_1d(s)
-    return s, jnp.stack([a, b], -1)
+    return s, jnp.stack([b, a], -1)
 
 
 # ---------------------------------------------------------------------------

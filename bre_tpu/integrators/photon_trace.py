@@ -391,6 +391,7 @@ def trace_photon_beams_compat(
     max_depth: int,
     beam_radius,
     n_steps: int = 0,
+    per_photon_stats: bool = False,
 ) -> Tuple[Beams, dict]:
     """Reference-exact photon-beam walk for seed-matched image comparison.
 
@@ -445,7 +446,12 @@ def trace_photon_beams_compat(
     rng, b0 = pcg32_next_f32(rng)
     rng, b1 = pcg32_next_f32(rng)
     rng, _u_time = pcg32_next_f32(rng)
-    le = sample_le(scene, light_num, jnp.stack([a0, a1], -1), jnp.stack([b0, b1], -1))
+    # Get2D() is ``Point2f(Get1D(), Get1D())`` (photonbeam.cpp:238-240) and
+    # g++ evaluates call arguments RIGHT-to-left: each 2D pair from the rng
+    # fallback is (x, y) = (second draw, first draw).  Verified against an
+    # instrumented reference build (photon 4, seed 5: uLight0 =
+    # (0.782359, 0.054103) from sequential draws 0.054103, 0.782359).
+    le = sample_le(scene, light_num, jnp.stack([a1, a0], -1), jnp.stack([b1, b0], -1))
     denom = light_pdf * le.pdf_pos * le.pdf_dir
     beta0 = (absdot(le.n_light, le.d) / jnp.maximum(denom, 1e-30))[:, None] * le.Le
     alive0 = (denom > 0.0) & (jnp.sum(le.Le, -1) > 0.0)
@@ -560,7 +566,8 @@ def trace_photon_beams_compat(
         # --- scatter branch: phase dims + push continuation ---
         rng, p0 = _masked_f32(rng, scattered)
         rng, p1 = _masked_f32(rng, scattered)
-        wi_phase, _ = hg_sample_p(-d, g_here, jnp.stack([p0, p1], -1))
+        # Get2D swap (g++ right-to-left evaluation; see emission above)
+        wi_phase, _ = hg_sample_p(-d, g_here, jnp.stack([p1, p0], -1))
         push = scattered
         new_sp = jnp.where(push, sp + 1, sp)
         push_sl = (jnp.arange(S) == sp[:, None]) & push[:, None]  # (P,S)
@@ -587,8 +594,9 @@ def trace_photon_beams_compat(
         real = surf_proc & ~is_null
         rng, s0 = _masked_f32(rng, real)
         rng, s1 = _masked_f32(rng, real)
+        # Get2D swap (g++ right-to-left evaluation; see emission above)
         bs = sample_bsdf(
-            scene.materials, h.material, h.ns, -d, jnp.stack([s0, s1], -1),
+            scene.materials, h.material, h.ns, -d, jnp.stack([s1, s0], -1),
             mode=MODE_IMPORTANCE, tangent=h.tangent,
         )
         # literal mirror of `if (fr.IsBlack() || pdf == 0.f) break;` (:314) —
@@ -643,6 +651,12 @@ def trace_photon_beams_compat(
             n_medium_scatter=jnp.sum(scattered.astype(jnp.int32)),
             n_surface=jnp.sum(surf_proc.astype(jnp.int32)),
         )
+        if per_photon_stats:
+            # per-lane interaction masks, for seed-matching diagnostics
+            # against a per-photon instrumented reference run
+            stats["lane_medium"] = scattered.astype(jnp.int32)
+            stats["lane_surface"] = surf_proc.astype(jnp.int32)
+            stats["lane_beam"] = emit_beam.astype(jnp.int32)
         out = dict(
             rng=rng, rng_grid=rng_grid, o=new_o, d=new_d, beta=new_beta,
             medium=new_medium, depth=new_depth, alive=new_alive, sp=new_sp,
@@ -651,8 +665,27 @@ def trace_photon_beams_compat(
         )
         return out, (beam, stats)
 
-    final, (beams_steps, stats_steps) = jax.lax.scan(
-        step, state, None, length=n_steps)
+    if per_photon_stats and P <= 8:
+        # diagnostic path: eager Python loop, keeps every step's full state
+        # (seed-matching triage against an instrumented reference build)
+        import numpy as _np
+
+        traj, beams_list, stats_list = [], [], []
+        cur = state
+        for _ in range(n_steps):
+            traj.append({k: _np.asarray(v) for k, v in cur.items()})
+            cur, (bm, st) = step(cur, None)
+            beams_list.append(bm)
+            stats_list.append(st)
+        final = cur
+        beams_steps = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *beams_list)
+        stats_steps = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *stats_list)
+        trace_photon_beams_compat._last_trajectory = traj
+    else:
+        final, (beams_steps, stats_steps) = jax.lax.scan(
+            step, state, None, length=n_steps)
 
     def flat(x):
         return x.reshape((-1,) + x.shape[2:])
@@ -667,7 +700,10 @@ def trace_photon_beams_compat(
         medium=flat(beams_steps["medium"]),
         valid=flat(beams_steps["valid"]),
     )
-    stats = {k: jnp.sum(v) for k, v in stats_steps.items()}
+    stats = {
+        k: (jnp.sum(v, axis=0) if k.startswith("lane_") else jnp.sum(v))
+        for k, v in stats_steps.items()
+    }
     stats["n_beams"] = jnp.sum(beams.valid.astype(jnp.int32))
     stats["photon_paths"] = jnp.int32(P)
     stats["n_overflow_steps"] = jnp.sum(

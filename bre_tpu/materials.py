@@ -292,7 +292,24 @@ def sample_bsdf(
     alpha = jnp.clip(rough, 1e-3, 1.0)
 
     ns = face_forward(n, wo)  # shade on wo's side
-    vx, vy = _local_frame(ns)
+    # pbrt BSDF frame (reflection.h:502-505): ss = Normalize(shading.dpdu),
+    # ts = Cross(ns_unflipped, ss); a sampled local (x, y, z) maps to
+    # x*ss + y*ts + z*ns with the z sign flipped onto wo's side
+    # (reflection.h:429-438  "if (wo.z < 0) wi.z *= -1") — i.e. the
+    # tangential axes come from the UNflipped frame while the z axis is the
+    # face-forwarded normal.  Seed-matched photon walks depend on this
+    # azimuth convention (an instrumented reference run showed matching
+    # cos-theta but rotated azimuth before this frame was adopted).
+    # Fiber tangents from tessellated curves are not perpendicular to n;
+    # orthogonalize defensively (exact dpdu tangents are unchanged).
+    t_in = tangent if tangent is not None else jnp.zeros_like(n)
+    ss_raw = t_in - n * jnp.sum(t_in * n, -1, keepdims=True)
+    ss_len = jnp.sqrt(jnp.sum(ss_raw * ss_raw, -1))
+    ss_ok = ss_len > 1e-6
+    ss = ss_raw / jnp.maximum(ss_len, 1e-12)[:, None]
+    cvx, cvy = _local_frame(ns)
+    vx = jnp.where(ss_ok[:, None], ss, cvx)
+    vy = jnp.where(ss_ok[:, None], jnp.cross(n, ss), cvy)
     cos_o = jnp.maximum(absdot(wo, ns), 1e-6)
 
     # --- matte: cosine-sampled Lambertian (reflection.h:343-360) ---

@@ -387,7 +387,17 @@ class SceneBuilder:
     ) -> int:
         """``n0/n1/n2``: optional per-vertex shading normals (pbrt
         trianglemesh "normal N", triangle.cpp shading geometry); None =
-        faceted (geometric normal)."""
+        faceted (geometric normal).
+
+        ``tangent`` defaults to pbrt's dpdu under the default per-triangle
+        UVs (0,0)/(1,0)/(1,1) (triangle.cpp GetUVs + the dpdu solve), which
+        reduces exactly to ``p1 - p0`` — the BSDF frame's ``ss`` axis.
+        Curve/hair tessellation passes the fiber direction explicitly
+        (curve.cpp dpdu is the curve tangent)."""
+        if tangent is None:
+            e = _rgb(p1) - _rgb(p0)
+            ln = float(np.linalg.norm(e))
+            tangent = e / ln if ln > 1e-12 else None
         z3 = np.zeros(3, np.float32)
         self._tri.append(
             dict(

@@ -422,6 +422,18 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
     if scene.n_triangles > 0:
         tangent = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None],
                             scene.triangles.tangent[best_idx], tangent)
+    if scene.n_spheres > 0:
+        # sphere dpdu (sphere.cpp:137: Vector3f(-phiMax*pHit.y, phiMax*
+        # pHit.x, 0) in object space; spheres are stored world-axis-aligned
+        # so only the center translation applies).  The BSDF frame's ss
+        # axis; zero at the poles falls back to coordinate_system.
+        rel_s = p - scene.spheres.center[best_idx]
+        t_s = jnp.stack(
+            [-rel_s[:, 1], rel_s[:, 0], jnp.zeros_like(rel_s[:, 0])], -1)
+        t_len = jnp.sqrt(jnp.sum(t_s * t_s, -1, keepdims=True))
+        t_s = jnp.where(t_len > 1e-9, t_s / jnp.maximum(t_len, 1e-12), 0.0)
+        tangent = jnp.where((best_kind == SHAPE_SPHERE)[:, None], t_s,
+                            tangent)
 
     # shading normal: barycentric vertex-normal interpolation where the
     # mesh carries normals (triangle.cpp shading geometry).  The AUTHORED
