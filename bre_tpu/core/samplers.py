@@ -105,6 +105,54 @@ def zero_two_sequence_2d(sample_idx: jnp.ndarray, scramble2: jnp.ndarray) -> jnp
     )
 
 
+_CMAXMIN = None
+
+
+def _cmaxmin_matrix(spp: int):
+    """CMaxMinDist[Log2Int(spp)] (maxmin.h:61, lowdiscrepancy.cpp:249):
+    the Grunschloss-Keller maximized-minimum-distance generator matrices.
+    UNAVOIDABLE CONSTANT DATA extracted verbatim from the reference's
+    lowdiscrepancy.cpp table (17 matrices x 32 columns) — like the Sobol
+    direction numbers, bit-exactness is a parity requirement and the values
+    are published constants, not code."""
+    global _CMAXMIN
+    if _CMAXMIN is None:
+        import pathlib
+
+        import numpy as _np
+
+        _CMAXMIN = _np.load(
+            pathlib.Path(__file__).parent / "data" / "cmaxmindist.npy")
+    return _CMAXMIN[max(0, min(16, int(spp).bit_length() - 1))]
+
+
+def multiply_generator(C, a: jnp.ndarray) -> jnp.ndarray:
+    """MultiplyGenerator (lowdiscrepancy.h:72-78): y ^= C[i] over set bits
+    of a.  C: length-32 uint32 vector (host constants)."""
+    y = jnp.zeros_like(a)
+    for i in range(32):
+        y = jnp.where((a >> jnp.uint32(i)) & 1, y ^ jnp.uint32(int(C[i])), y)
+    return y
+
+
+def maxmindist_2d(sample_idx: jnp.ndarray, spp: int,
+                  rot_x: jnp.ndarray, scramble_y: jnp.ndarray) -> jnp.ndarray:
+    """MaxMinDistSampler's first 2D dimension (maxmin.cpp:44-47):
+    (i/spp, SampleGeneratorMatrix(CPixel, i)) — the dedicated max-min-dist
+    point set, NOT the (0,2)-sequence.  pbrt decorrelates pixels by
+    Shuffle()ing the sample order; index order is fixed here (one sample
+    per progressive iteration), so pixels decorrelate by a Cranley-
+    Patterson rotation of x and an XOR scramble of y (both preserve the
+    point set's stratification)."""
+    C = _cmaxmin_matrix(spp)
+    inv = 1.0 / float(max(spp, 1))
+    x = (sample_idx.astype(jnp.float32) % float(spp)) * inv
+    x = jnp.mod(x + rot_x, 1.0)
+    y = (multiply_generator(C, sample_idx) ^ scramble_y).astype(
+        jnp.float32) * (1.0 / 4294967296.0)
+    return jnp.stack([x, y], -1)
+
+
 def stratified_2d(sample_idx: jnp.ndarray, n_samples: int, u_jitter: jnp.ndarray) -> jnp.ndarray:
     """Jittered stratified 2D (stratified.cpp): sample i of n on a
     ceil(sqrt(n))^2 grid with random jitter inside each stratum."""
@@ -145,10 +193,14 @@ def halton_2d(sample_idx: jnp.ndarray, pixel_hash: jnp.ndarray) -> jnp.ndarray:
 #                 N_SCRAMBLE_DIMS
 #   sobol       — SobolIntervalToIndex + SobolSample (sobol.cpp); PCG32 past
 #                 1024 dims
-#   02sequence / maxmindist — per-(pixel, dim)-scrambled (0,2)-sequence
+#   02sequence  — per-(pixel, dim)-scrambled (0,2)-sequence
 #                 (zerotwosequence.cpp; the reference's per-pixel shuffles
 #                 are replaced by per-dim XOR scrambles — statistically
 #                 equivalent decorrelation, documented)
+#   maxmindist  — film dim: the dedicated CMaxMinDist generator-matrix
+#                 point set (maxmin.cpp:44-47, matrices extracted from
+#                 lowdiscrepancy.cpp:249); later dims VdC/Sobol2 like the
+#                 reference's StartPixel
 #   stratified  — stratified film dims; (0,2) path for the rest (a strict
 #                 variance improvement over per-dim jittered strata)
 # ---------------------------------------------------------------------------
@@ -379,6 +431,16 @@ def stream_camera_sample(s: SampleStream):
         samp = jnp.broadcast_to(s.samp, (R,))
         film = stratified_2d(samp, spec.spp, jnp.stack([u0, u1], -1))
         s = s._replace(rng=rng, dim=s.dim + 2)
+    elif spec.kind == "maxmindist":
+        # first 2D dim is the dedicated max-min-dist point set
+        # (maxmin.cpp:44-47); later dims fall back to VdC/Sobol2 exactly
+        # like the reference's StartPixel
+        samp = jnp.broadcast_to(s.samp, (R,))
+        rot = (_scramble_hash(s.pix, jnp.int32(0)).astype(jnp.float32)
+               * (1.0 / 4294967296.0))
+        film = maxmindist_2d(samp, max(spec.spp, 1), rot,
+                             _scramble_hash(s.pix, jnp.int32(1)))
+        s = s._replace(dim=s.dim + 2)
     else:
         s, film = stream_2d(s)
     s, time = stream_1d(s)
@@ -391,8 +453,8 @@ def camera_jitter(sampler: str, pixel_idx: jnp.ndarray, sample_idx,
     """2D film-plane jitter for pixel samplers; returns (rng, (R,2) in [0,1)).
 
     ``sampler``: "random" | "stratified" | "02sequence" | "maxmindist" |
-    "sobol" | "halton" (maxmindist/sobol share the (0,2) path — the
-    distinction is the generator-matrix table, a variance refinement).
+    "sobol" | "halton".  maxmindist uses its dedicated CMaxMinDist
+    generator matrices (maxmin.cpp:44-47, table at lowdiscrepancy.cpp:249).
     """
     R = pixel_idx.shape[0]
     idx = jnp.full((R,), jnp.uint32(sample_idx))
@@ -409,7 +471,13 @@ def camera_jitter(sampler: str, pixel_idx: jnp.ndarray, sample_idx,
         s_a, bits1 = pcg32_next_u32(s_a)
         return rng, jnp.stack(
             [sobol_sample(idx, 0, bits0), sobol_sample(idx, 1, bits1)], -1)
-    if sampler in ("02sequence", "maxmindist"):
+    if sampler == "maxmindist":
+        s_a = pcg32_init(pixel_idx)
+        s_a, bits0 = pcg32_next_u32(s_a)
+        s_a, bits1 = pcg32_next_u32(s_a)
+        rot = bits0.astype(jnp.float32) * (1.0 / 4294967296.0)
+        return rng, maxmindist_2d(idx, max(n_samples, 1), rot, bits1)
+    if sampler == "02sequence":
         s_a = pcg32_init(pixel_idx)
         s_a, bits0 = pcg32_next_u32(s_a)
         s_a, bits1 = pcg32_next_u32(s_a)

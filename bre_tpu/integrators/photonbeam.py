@@ -93,6 +93,15 @@ class PhotonBeamConfig:
     # (Scene::IntersectTr walk, scene.cpp:63-92); None = resolve from the
     # scene at render/builder entry (common.default_tr_crossings)
     tr_crossings: Optional[int] = None
+    # camera depth loop form.  None = auto: lax.scan for the compat kernel
+    # (forward-only comparison mode), unrolled otherwise.  The unroll exists
+    # for DIFFERENTIATED passes only — lax.scan's partial evaluation saves
+    # per-chunk gather internals across steps and defeats the custom-VJP
+    # memory bound — but it multiplies compile time by the step count
+    # (the round-4 "pathological compat+hetero compile", up to 3*maxdepth+2
+    # inlined copies of the gather graph).  Forward-only drivers
+    # (render_photonbeam, the CLI) scan: one compiled step body.
+    depth_scan: Optional[bool] = None
 
 
 def _resolve_gather(gather: str, backend: str) -> str:
@@ -468,10 +477,13 @@ def camera_pass_by_pixels(
         )
         return out, None
 
-    # Unrolled (not lax.scan): scan's partial-evaluation defeats the gather's
-    # custom-VJP memory bound by saving per-chunk internals across steps;
-    # unrolling keeps each depth step's gather opaque to AD.  Depth counts
-    # are small (<=10), so compile-time cost is modest.
+    # Loop form (cfg.depth_scan): unrolled for differentiated passes —
+    # lax.scan's partial evaluation saves per-chunk gather internals across
+    # steps and defeats the custom-VJP memory bound; unrolling keeps each
+    # depth step's gather opaque to AD.  Forward-only passes lax.scan the
+    # identical step body: the unroll inlines up to 3*maxdepth+2 copies of
+    # the gather graph (each with its lax.cond budget tiers) and was the
+    # round-4 "pathologically slow compat+hetero compile".
     # Reference depth bookkeeping frees null-boundary hops (--depth,
     # photonbeam.cpp:515-517): compat budgets up to two hops per real bounce
     # (enter/exit a bounded medium) so deep camera paths match; the physical
@@ -479,8 +491,13 @@ def camera_pass_by_pixels(
     # deep-step contributions decay — compat's raw kernel sum does not).
     n_cam_steps = (3 * cfg.maxdepth + 2 if kern == KERNEL_COMPAT
                    else cfg.maxdepth + 2)
-    for _depth in range(n_cam_steps):
-        state, _ = step(state, None)
+    depth_scan = (cfg.depth_scan if cfg.depth_scan is not None
+                  else kern == KERNEL_COMPAT)
+    if depth_scan:
+        state, _ = jax.lax.scan(step, state, None, length=n_cam_steps)
+    else:
+        for _depth in range(n_cam_steps):
+            state, _ = step(state, None)
     stats = dict(camera_rays=jnp.int32(R))
     return state["Ld"], stats
 
@@ -508,6 +525,11 @@ def render_photonbeam(
 
         cfg = dataclasses.replace(cfg,
                                   tr_crossings=default_tr_crossings(scene))
+    if cfg.depth_scan is None:
+        # this progressive driver is never differentiated: scan the camera
+        # depth loop (one compiled step body instead of maxdepth+2 inlined
+        # gather graphs — the spec renders' dominant compile cost)
+        cfg = dataclasses.replace(cfg, depth_scan=True)
     n_pixels = width * height
     photons = cfg.photonsperiteration if cfg.photonsperiteration > 0 else n_pixels
     end_iter = cfg.enditeration if cfg.enditeration is not None else cfg.iterations

@@ -75,6 +75,12 @@ def _tex_graph_depth(tex_list) -> int:
     return max(depth, default=0)
 
 
+# pbrt's default triangle UVs (triangle.cpp GetUVs)
+_UV_DEFAULT = (np.array([0.0, 0.0], np.float32),
+               np.array([1.0, 0.0], np.float32),
+               np.array([1.0, 1.0], np.float32))
+
+
 def _rgb(v) -> np.ndarray:
     a = np.asarray(v, np.float32)
     if a.shape == ():
@@ -384,18 +390,35 @@ class SceneBuilder:
         n0=None,
         n1=None,
         n2=None,
+        uv0=None,
+        uv1=None,
+        uv2=None,
     ) -> int:
         """``n0/n1/n2``: optional per-vertex shading normals (pbrt
         trianglemesh "normal N", triangle.cpp shading geometry); None =
-        faceted (geometric normal).
+        faceted (geometric normal).  ``uv0/uv1/uv2``: optional per-vertex
+        texture coordinates ("float uv"/"float st"); None = pbrt defaults
+        (0,0)/(1,0)/(1,1) (triangle.cpp GetUVs).
 
-        ``tangent`` defaults to pbrt's dpdu under the default per-triangle
-        UVs (0,0)/(1,0)/(1,1) (triangle.cpp GetUVs + the dpdu solve), which
-        reduces exactly to ``p1 - p0`` — the BSDF frame's ``ss`` axis.
-        Curve/hair tessellation passes the fiber direction explicitly
-        (curve.cpp dpdu is the curve tangent)."""
+        ``tangent`` defaults to pbrt's dpdu from the UVs (triangle.cpp's
+        dpdu solve), which for the default UVs reduces exactly to
+        ``p1 - p0`` — the BSDF frame's ``ss`` axis.  Curve/hair
+        tessellation passes the fiber direction explicitly (curve.cpp dpdu
+        is the curve tangent)."""
         if tangent is None:
-            e = _rgb(p1) - _rgb(p0)
+            if uv0 is not None:
+                # dpdu from explicit UVs (triangle.cpp:149-162): solve
+                # [dp02 dp12] = dpdu*[duv02 duv12]
+                a0, a1, a2 = (np.asarray(u, np.float32)
+                              for u in (uv0, uv1, uv2))
+                duv02, duv12 = a0 - a2, a1 - a2
+                dp02 = _rgb(p0) - _rgb(p2)
+                dp12 = _rgb(p1) - _rgb(p2)
+                det = duv02[0] * duv12[1] - duv02[1] * duv12[0]
+                e = (duv12[1] * dp02 - duv02[1] * dp12) / det \
+                    if abs(det) > 1e-12 else _rgb(p1) - _rgb(p0)
+            else:
+                e = _rgb(p1) - _rgb(p0)
             ln = float(np.linalg.norm(e))
             tangent = e / ln if ln > 1e-12 else None
         z3 = np.zeros(3, np.float32)
@@ -412,6 +435,10 @@ class SceneBuilder:
                 n0=_rgb(n0) if n0 is not None else z3,
                 n1=_rgb(n1) if n1 is not None else z3,
                 n2=_rgb(n2) if n2 is not None else z3,
+                **({} if uv0 is None else dict(
+                    uv0=np.asarray(uv0, np.float32),
+                    uv1=np.asarray(uv1, np.float32),
+                    uv2=np.asarray(uv2, np.float32))),
             )
         )
         return len(self._tri) - 1
@@ -1008,6 +1035,15 @@ class SceneBuilder:
             n2=jnp.asarray(np.stack(
                 [t.get("n2", np.zeros(3, np.float32)) for t in self._tri])
                 if self._tri else np.zeros((0, 3), np.float32)),
+            uv0=jnp.asarray(np.stack(
+                [t.get("uv0", _UV_DEFAULT[0]) for t in self._tri])
+                if self._tri else np.zeros((0, 2), np.float32)),
+            uv1=jnp.asarray(np.stack(
+                [t.get("uv1", _UV_DEFAULT[1]) for t in self._tri])
+                if self._tri else np.zeros((0, 2), np.float32)),
+            uv2=jnp.asarray(np.stack(
+                [t.get("uv2", _UV_DEFAULT[2]) for t in self._tri])
+                if self._tri else np.zeros((0, 2), np.float32)),
         )
         materials = Materials(
             mtype=col(self._mat, "mtype"),

@@ -399,13 +399,14 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         theta = jnp.arccos(jnp.clip(n_s[:, 2], -1.0, 1.0))
         uv_s = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], -1)
         uv = jnp.where((best_kind == SHAPE_SPHERE)[:, None], uv_s, uv)
+    bary = None
     if scene.n_triangles > 0:
         ii = best_idx
         e1 = scene.triangles.p1[ii] - scene.triangles.p0[ii]
         e2 = scene.triangles.p2[ii] - scene.triangles.p0[ii]
         n_t = normalize(cross(e1, e2))
         n = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None], n_t, n)
-        # barycentric UV (triangle.cpp default uv (0,0),(1,0),(1,1))
+        # barycentrics of the hit point
         rel = p - scene.triangles.p0[ii]
         d11 = jnp.sum(e1 * e1, -1)
         d12 = jnp.sum(e1 * e2, -1)
@@ -415,7 +416,14 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
         b1 = (d22 * dr1 - d12 * dr2) / det
         b2 = (d11 * dr2 - d12 * dr1) / det
-        uv_t = jnp.stack([b1, b2], -1)
+        bary = (b1, b2)
+        # hit UV = barycentric interpolation of the per-vertex UVs
+        # (triangle.cpp:171: uvHit = b0*uv[0] + b1*uv[1] + b2*uv[2]; the
+        # builder stores pbrt's defaults (0,0)/(1,0)/(1,1) for meshes
+        # without "float uv"/"st", so the default hit UV is (b1+b2, b2))
+        uv_t = ((1.0 - b1 - b2)[:, None] * scene.triangles.uv0[ii]
+                + b1[:, None] * scene.triangles.uv1[ii]
+                + b2[:, None] * scene.triangles.uv2[ii])
         uv = jnp.where((best_kind == SHAPE_TRIANGLE)[:, None], uv_t, uv)
 
     tangent = jnp.zeros_like(p)
@@ -448,7 +456,7 @@ def intersect(scene: Scene, o: jnp.ndarray, d: jnp.ndarray, t_max=None,
         vn1 = scene.triangles.n1[best_idx]
         vn2 = scene.triangles.n2[best_idx]
         has_vn = jnp.sum(jnp.abs(vn0), -1) > 0.0
-        b1v, b2v = uv[:, 0], uv[:, 1]
+        b1v, b2v = bary
         ns_t = ((1.0 - b1v - b2v)[:, None] * vn0
                 + b1v[:, None] * vn1 + b2v[:, None] * vn2)
         ns_t = normalize(ns_t)

@@ -610,21 +610,33 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                         np.linalg.norm(vns, axis=-1, keepdims=True), 1e-12)
                     if gs.reverse_orientation:
                         vns = -vns
+                # per-vertex texture coordinates: pbrt accepts "uv" or
+                # "st" (triangle.cpp CreateTriangleMesh; obj2pbrt emits st)
+                uvs = None
+                if stype == "trianglemesh":
+                    uvraw = p.get("uv", p.get("st"))
+                    if uvraw is not None:
+                        uvs = np.asarray(uvraw, np.float32).reshape(-1, 2)
                 for k in range(0, len(idx), 3):
                     i0, i1, i2 = idx[k], idx[k + 1], idx[k + 2]
                     v0, v1, v2 = pts_w[i0], pts_w[i1], pts_w[i2]
                     nk = (None, None, None)
                     if vns is not None:
                         nk = (vns[i0], vns[i1], vns[i2])
+                    uk = (None, None, None)
+                    if uvs is not None:
+                        uk = (uvs[i0], uvs[i1], uvs[i2])
                     if gs.reverse_orientation:
                         v1, v2 = v2, v1
                         nk = (nk[0], nk[2], nk[1])
+                        uk = (uk[0], uk[2], uk[1])
                     if gs.area_light is not None:
                         light_id = len(b._light)
                         tidx = b.triangle(v0, v1, v2, material=gs.material,
                                           medium_inside=mi, medium_outside=mo,
                                           _area_light=light_id,
-                                          n0=nk[0], n1=nk[1], n2=nk[2])
+                                          n0=nk[0], n1=nk[1], n2=nk[2],
+                                          uv0=uk[0], uv1=uk[1], uv2=uk[2])
                         from .scene import LIGHT_DIFFUSE_AREA, SHAPE_TRIANGLE
 
                         b._add_light(
@@ -639,7 +651,8 @@ def parse_string(text: str, include_dir: Path = Path(".")) -> ParsedScene:
                     else:
                         b.triangle(v0, v1, v2, material=gs.material,
                                    medium_inside=mi, medium_outside=mo,
-                                   n0=nk[0], n1=nk[1], n2=nk[2])
+                                   n0=nk[0], n1=nk[1], n2=nk[2],
+                                   uv0=uk[0], uv1=uk[1], uv2=uk[2])
             elif stype == "disk":
                 b.disk(xf_point((0, 0, _f(p, "height", 0.0))),
                        normal=ctm[:3, 2], radius=_f(p, "radius", 1.0),

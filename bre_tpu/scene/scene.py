@@ -85,6 +85,13 @@ class Triangles(NamedTuple):
     n0: jnp.ndarray = jnp.zeros((0, 3))  # (Nt, 3)
     n1: jnp.ndarray = jnp.zeros((0, 3))
     n2: jnp.ndarray = jnp.zeros((0, 3))
+    # per-vertex texture coordinates ("float uv"/"float st" on
+    # trianglemesh, triangle.cpp GetUVs); the builder fills pbrt's
+    # defaults (0,0)/(1,0)/(1,1) when a mesh has none, so hit UVs are
+    # always the pbrt interpolation b0*uv0 + b1*uv1 + b2*uv2
+    uv0: jnp.ndarray = jnp.zeros((0, 2))  # (Nt, 2)
+    uv1: jnp.ndarray = jnp.zeros((0, 2))
+    uv2: jnp.ndarray = jnp.zeros((0, 2))
 
 
 class Materials(NamedTuple):

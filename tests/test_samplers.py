@@ -50,3 +50,66 @@ def test_sobol2_scramble_changes_sequence():
     b = np.asarray(sobol2(idx, jnp.full(8, 0xDEADBEEF, jnp.uint32)))
     assert not np.allclose(a, b)
     assert (a >= 0).all() and (a < 1).all() and (b >= 0).all() and (b < 1).all()
+
+
+def test_maxmindist_matches_reference_algorithm():
+    """The maxmindist film dimension is pbrt's dedicated point set
+    (maxmin.cpp:44-47): (i/spp, MultiplyGenerator(CMaxMinDist[log2 spp], i))
+    — validated against a scalar transliteration of the reference
+    algorithm over every sample index and several spp levels."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bre_tpu.core.samplers import (_cmaxmin_matrix, maxmindist_2d,
+                                       multiply_generator)
+
+    for spp in (4, 16, 64):
+        C = _cmaxmin_matrix(spp)
+
+        def scalar_mg(a):
+            v, i = 0, 0
+            while a:
+                if a & 1:
+                    v ^= int(C[i])
+                a >>= 1
+                i += 1
+            return v
+
+        idx = jnp.arange(spp, dtype=jnp.uint32)
+        ours = np.asarray(multiply_generator(C, idx))
+        ref = np.array([scalar_mg(i) for i in range(spp)], np.uint32)
+        np.testing.assert_array_equal(ours, ref)
+
+        pts = np.asarray(maxmindist_2d(
+            idx, spp, jnp.float32(0.0), jnp.uint32(0)))
+        # x is the uniform comb i/spp; y values form a permutation of the
+        # base-2 grid (the generator matrix is invertible on log2 spp bits)
+        np.testing.assert_allclose(pts[:, 0], np.arange(spp) / spp,
+                                   atol=1e-7)
+        ys = np.sort(np.floor(pts[:, 1] * spp).astype(int))
+        np.testing.assert_array_equal(ys, np.arange(spp))
+
+
+def test_maxmindist_min_distance_beats_02sequence():
+    """The point of the sampler: larger minimum toroidal pairwise distance
+    than the (0,2)-sequence at the same spp (Grunschloss-Keller)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bre_tpu.core.samplers import maxmindist_2d, zero_two_sequence_2d
+
+    spp = 16
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+
+    def min_dist(pts):
+        d = np.abs(pts[:, None, :] - pts[None, :, :])
+        d = np.minimum(d, 1.0 - d)  # toroidal
+        dist = np.sqrt((d ** 2).sum(-1))
+        np.fill_diagonal(dist, np.inf)
+        return dist.min()
+
+    mmd = min_dist(np.asarray(maxmindist_2d(
+        idx, spp, jnp.float32(0.0), jnp.uint32(0))))
+    z2 = min_dist(np.asarray(zero_two_sequence_2d(
+        idx, jnp.zeros((spp, 2), jnp.uint32))))
+    assert mmd > z2, (mmd, z2)
