@@ -349,7 +349,19 @@ def trace_photon_beams_by_index(
         alive=alive0,
         depth=jnp.zeros((P,), jnp.int32),
     )
-    _, (beams_steps, stats_steps) = jax.lax.scan(step, init, None, length=n_steps)
+    # Unrolled scan on TPU: the walk step is many small (P,)/(P,3)
+    # elementwise segments, and scan's per-step boundary blocks cross-step
+    # fusion — measured 6.4 M photons/s rolled vs 10.6 M/s unrolled at the
+    # bench shape (v5e, 200k photons, maxdepth 5); this attributes and
+    # recovers the round-4 9.45 -> 7.6 M/s photon-throughput regression
+    # (VERDICT item 4).  CPU keeps the rolled form: XLA:CPU compile time on
+    # the n_steps-times-larger differentiated graph dominates the test tier
+    # (the 8-device-mesh inverse-step dryrun went from ~90 s to a timeout
+    # when unrolled there), and CPU runs are compile-bound, not fusion-
+    # bound.  Numerics are identical either way (same ops, same order).
+    unroll = n_steps if jax.default_backend() == "tpu" else 1
+    _, (beams_steps, stats_steps) = jax.lax.scan(
+        step, init, None, length=n_steps, unroll=unroll)
 
     def flat(x):
         return x.reshape((-1,) + x.shape[2:])
