@@ -164,7 +164,11 @@ def trace_photon_beams_by_index(
     (TracePhotonBeamRecursive photonbeam.cpp:290-294), used by the compat
     kernel for image matching.  The walk itself continues from the sampled
     scatter point either way."""
-    ee = detach_sampling if early_exit is None else bool(early_exit)
+    # Early-exit grid tracking is attached-gradient legal as of round 5
+    # (media.sample_grid re-attaches the t-chain in closed form outside the
+    # while_loop), so it is the default for BOTH estimators; the fixed-trip
+    # scan remains reachable for A/B validation (early_exit=False).
+    ee = True if early_exit is None else bool(early_exit)
     P = halton_index.shape[0]
     n_steps = max_depth + 2
     rng = pcg32_init(jnp.asarray(halton_index, jnp.uint32) + jnp.uint32(1))  # photonbeam.cpp:389

@@ -246,13 +246,23 @@ def sample_grid(
     as soon as EVERY lane has exited or scattered — the expected tentative
     step count is the max-density optical thickness of the chord (usually
     2-5), so the fixed-trip scan wastes ~50-100x of the walk (measured 8.0 s
-    of a 9.5 s hetero inverse step at 50k photons, round 4).  while_loop is
-    not reverse-differentiable: callers must detach the sampled distance
-    (detach_sampling — the detached differential-transport estimator) before
-    differentiating through the walk; the scan path remains for attached
-    estimators.  The RNG stream advances by the ACTUAL step count instead of
-    2*max_steps per lane, so draws differ from the scan path (statistically
-    equivalent; no bit-compat claim exists for grid tracking).
+    of a 9.5 s hetero inverse step at 50k photons, round 4).
+
+    **The early-exit path is ATTACHED-gradient legal** (round 5, VERDICT
+    item 8).  The scan path's parameter gradient flows ONLY through the
+    per-lane scalar chain ``t_hit = t0 + S * inv_max_density / sigma_med``
+    where ``S = sum(-log(1-u1_j))`` over the tentative steps up to
+    acceptance: the acceptance decisions are stop-gradiented (discrete
+    events) in BOTH paths, and the trilinear ``grid_density`` reads feed
+    only those decisions, so no gradient enters the loop body.  The
+    while_loop therefore runs entirely on detached values while recording
+    ``S``, and the closed-form chain above re-attaches the exact gradient
+    outside the loop — gradients match the 256-step scan path to float
+    reassociation (tests/test_media.py).  Per-lane draws up to acceptance
+    are identical to the scan path; only the RETURNED rng differs (the
+    stream advances by the actual step count instead of 2*max_steps —
+    statistically equivalent; no bit-compat claim exists for grid
+    tracking).
     """
     sigma_t = (sigma_a + sigma_s)[..., 0]  # spectrally uniform (grid.h ctor)
     om, dm, dlen, t0, t1, hit_box = _grid_ray_setup(media, o, d, t_max)
@@ -280,26 +290,29 @@ def sample_grid(
     if early_exit:
         # while_loop is not linearizable: detach EVERY array entering the
         # loop (incl. the density grid read by grid_density) so the loop
-        # never sits on a tangent path.  Semantically free in this mode —
-        # the acceptance is already stop-gradient and the caller detaches
-        # the sampled distance.
+        # never sits on a tangent path.  The loop additionally records
+        # S = sum(-log(1-u1)) over each lane's tentative steps; the
+        # parameter gradient is re-attached in closed form below.
         sg = jax.lax.stop_gradient
         om_l, dm_l, t1_l = sg(om), sg(dm), sg(t1)
         sigma_med_l, inv_max_l = sg(sigma_med), sg(inv_max_density)
         dens_grid_l = sg(media.density)
 
         def step_l(carry):
-            rng, t, live, sampled, t_hit = carry
+            rng, t, live, sampled, t_hit, S, S_hit = carry
             rng, u1 = pcg32_next_f32(rng)
             rng, u2 = pcg32_next_f32(rng)
-            t_new = t - jnp.log(1.0 - u1) * inv_max_l / sigma_med_l
+            term = -jnp.log(1.0 - u1)
+            S_new = S + jnp.where(live, term, 0.0)
+            t_new = t + term * inv_max_l / sigma_med_l
             exited = t_new >= t1_l
             dens = grid_density(dens_grid_l, om_l + t_new[..., None] * dm_l)
             accept = (dens * inv_max_l > u2) & live & ~exited
             sampled = sampled | accept
             t_hit = jnp.where(accept, t_new, t_hit)
+            S_hit = jnp.where(accept, S_new, S_hit)
             live = live & ~exited & ~accept
-            return (rng, t_new, live, sampled, t_hit)
+            return (rng, t_new, live, sampled, t_hit, S_new, S_hit)
 
         def cond(c):
             i = c[0]
@@ -310,9 +323,15 @@ def sample_grid(
             i, cr = c
             return (i + 1, step_l(cr))
 
-        carry = (rng, sg(t0), live0, sampled0, jnp.zeros_like(t0))
-        _, (rng, _, live, sampled, t_hit) = jax.lax.while_loop(
+        carry = (rng, sg(t0), live0, sampled0, jnp.zeros_like(t0),
+                 jnp.zeros_like(t0), jnp.zeros_like(t0))
+        _, (rng, _, live, sampled, _t_hit_det, _, S_hit) = jax.lax.while_loop(
             cond, body, (jnp.int32(0), carry))
+        # closed-form re-attachment: t_hit = t0 + S * inv_max / sigma_med
+        # with S (and the acceptance pattern) frozen — the EXACT gradient of
+        # the scan path, whose loop internals carry no tangents either.
+        t_hit = t0 + sg(S_hit) * inv_max_density / sigma_med
+        t_hit = jnp.where(sampled, t_hit, 0.0)
     else:
         (rng, _, live, sampled, t_hit), _ = jax.lax.scan(
             step, carry, None, length=max_steps)

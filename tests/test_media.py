@@ -238,3 +238,54 @@ def test_sample_grid_early_exit_matches_scan_statistically():
     assert abs(frac1 - frac0) / frac0 < 0.03, (frac0, frac1)
     assert abs(t1 - t0) / t0 < 0.03, (t0, t1)
     assert abs(w1 - w0) / w0 < 1e-6  # weight is sigma_s/sigma_t, draw-free
+
+
+def test_sample_grid_early_exit_attached_gradients_match_scan():
+    """Round 5 (VERDICT item 8): the early-exit tracking is ATTACHED-
+    gradient legal — the scan path's parameter gradient flows only through
+    the closed-form chain t_hit = t0 + S*inv_max/sigma_med (acceptance and
+    density reads are stop-gradiented in both paths), which the while_loop
+    re-attaches outside the loop.  Per-lane draws up to acceptance are
+    identical, so primal AND gradient must match the 256-step scan to
+    float-reassociation tolerance."""
+    import numpy as np
+    from bre_tpu.media import sample_grid, gather_medium
+    from bre_tpu.core.rng import pcg32_init
+    from bre_tpu.scene.builder import SceneBuilder
+
+    n = 16
+    g = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    dens = np.clip(np.exp(-1.5 * (x**2 + y**2 + z**2)), 0, None).astype(np.float32)
+    b = SceneBuilder()
+    w2m = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                    [0, 0, 0.5, 0.5], [0, 0, 0, 1]], np.float32)
+    b.grid_medium(dens, w2m, sigma_a=(0.1,) * 3, sigma_s=(1.0,) * 3, g=0.0)
+    b.sphere((0, 0, 0), 5.0)
+    media = b.build().media
+
+    P = 4096
+    rng_np = np.random.default_rng(3)
+    o = jnp.asarray(rng_np.uniform(-0.9, 0.9, (P, 3)).astype(np.float32))
+    d = rng_np.normal(size=(P, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    t_max = jnp.full((P,), 3.0)
+    med = jnp.zeros((P,), jnp.int32)
+
+    def loss(scale, ee):
+        m = media._replace(sigma_a=media.sigma_a * scale,
+                           sigma_s=media.sigma_s * scale)
+        sigma_a, sigma_s, _, _, _ = gather_medium(m, med)
+        rng = pcg32_init(jnp.arange(P, dtype=jnp.uint32) + 5)
+        _, ms, _ = sample_grid(m, sigma_a, sigma_s, o, d, t_max, rng,
+                               early_exit=ee)
+        # a loss touching both the sampled distance chain and the weights
+        return jnp.sum(jnp.where(ms.sampled, ms.t, 0.0)) + jnp.sum(ms.weight)
+
+    for ee_order in ((False, True),):
+        vg = jax.jit(jax.value_and_grad(loss), static_argnums=1)
+        v_scan, g_scan = vg(jnp.float32(1.0), False)
+        v_ee, g_ee = vg(jnp.float32(1.0), True)
+        np.testing.assert_allclose(float(v_ee), float(v_scan), rtol=2e-5)
+        assert abs(float(g_scan)) > 1e-3  # the chain actually carries grads
+        np.testing.assert_allclose(float(g_ee), float(g_scan), rtol=2e-4)
