@@ -78,6 +78,34 @@ def test_vsppm_compat_matches_reference_golden():
     assert float(rel.max()) < 0.30, rel
 
 
+def test_vsppm_compat_matches_reference_golden_32():
+    """Default-tier MID-SIZE gate (VERDICT round-4 item 5): 32 iterations
+    against a dedicated reference golden (vsppm_golden32.pfm; reference
+    stats at render time: 64,000 paths, combined medium interactions
+    44,273).  Measured at HEAD: channel means 0.79-0.81%, interaction
+    identity -0.17%, region max 9.6% — so the 3%/0.5%/15% bounds catch
+    estimator drift the loose 8-iteration gate (12%) cannot.
+
+    Sensitivity probes (run once, round 5): sigma_s * 1.05 moves the
+    combined interaction count +2.86% (trips the 0.5% identity bound);
+    any >=3% kernel-value drift trips the means bound by construction
+    (measured margin 2.2 points); radius * 1.05 moves means only 0.94% —
+    the progressive estimator is radius-self-normalizing, so radius bugs
+    are caught by the identity gates, not the means."""
+    from bre_tpu.io.image import read_image
+
+    golden = np.asarray(read_image(str(DATA / "vsppm_golden32.pfm")))
+    img, stats = _render(32)
+    comb = stats["medium_interactions"] + stats["vp_medium"]
+    assert abs(comb - 44273) / 44273 < 0.005, comb
+    for c in range(3):
+        gm, om = golden[..., c].mean(), img[..., c].mean()
+        assert abs(om - gm) / gm < 0.03, (c, gm, om)
+    rel = np.abs(_region_means(img) - _region_means(golden)) / np.maximum(
+        _region_means(golden), 0.02)
+    assert float(rel.max()) < 0.15, rel
+
+
 @pytest.mark.skipif(not RUN_SLOW, reason="64-iteration tight gate (RUN_SLOW=1)")
 def test_vsppm_compat_matches_reference_golden_64():
     from bre_tpu.io.image import read_image
