@@ -7,6 +7,7 @@ traced function, the global became a DynamicJaxprTracer and poisoned every
 later trace with UnexpectedTracerError.)
 """
 
+import os
 import subprocess
 import sys
 
@@ -56,9 +57,15 @@ print("NO_LEAK_OK")
 
 
 def test_modules_imported_under_trace_do_not_leak():
+    # The subprocess must resolve bre_tpu regardless of pytest's cwd
+    # (running from tests/ vs the repo root).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + env.get("PYTHONPATH", "").split(os.pathsep))
     r = subprocess.run(
         [sys.executable, "-c", CODE], capture_output=True, text=True,
-        timeout=600,
+        timeout=600, env=env,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "NO_LEAK_OK" in r.stdout
